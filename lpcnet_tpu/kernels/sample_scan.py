@@ -1,0 +1,186 @@
+"""The 16 kHz autoregressive synthesis loop, batched over streams.
+
+This is the reference's hot loop (lpcnet_synthesize_tail_impl, src/lpcnet.c:
+235-271 + run_sample_network lpcnet.c:146-167) re-designed for TPU: instead
+of one scalar sample pipeline, B independent streams advance in lockstep
+through a lax.scan. Every per-sample op is a (B, .) x (., .) matmul (MXU) or
+an elementwise/gather op (VPU), and all state lives in registers/VMEM across
+the scan. Time steps are inherently sequential (AR dependence); throughput
+comes from the stream batch.
+
+Per sample, per stream:
+  1. order-16 LPC prediction                        (lpcnet.c:252)
+  2. mu-law quantize last signal + prediction       (lpcnet.c:253-254)
+  3. GRU-A input = frame condition + 3 table gathers (nnet.c:484-491)
+  4. GRU-A (384) step: (B,384)x(384,1152) matmul    (nnet.c:410-448)
+  5. GRU-B (16) step with condition bias            (nnet.c:326-372)
+  6. dual-FC 256-way logits + 8-bit binary-tree sample with KISS99
+     thresholds                                     (nnet.c:163-214)
+  7. excitation -> signal, de-emphasis, clip, round (lpcnet.c:260-269)
+
+Teacher forcing ("preload", lpcnet.c:256-261) replaces the sampled
+excitation with the one derived from a target waveform for sample indices
+below a per-stream threshold; PLC and decoder resync depend on it.
+"""
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LPC_ORDER
+from ..ops import activations
+from ..ops.kiss99 import kiss99_next
+from ..ops.mulaw import lin2ulaw, ulaw2lin
+from ..ops.tables import SAMPLING_LOGIT_TABLE
+
+
+def init_state(batch: int, cfg, rng_seed: Optional[np.ndarray] = None
+               ) -> Dict[str, jax.Array]:
+    """Fresh synthesis state (lpcnet_reset, lpcnet.c:174-182)."""
+    from ..ops import kiss99 as k99
+    if rng_seed is None:
+        rng_seed = k99.batched_seed(batch)
+    return {
+        "gru_a": jnp.zeros((batch, cfg.gru_a_units), jnp.float32),
+        "gru_b": jnp.zeros((batch, cfg.gru_b_units), jnp.float32),
+        "last_sig": jnp.zeros((batch, LPC_ORDER), jnp.float32),
+        "last_exc": jnp.full((batch,), 128, jnp.int32),  # lin2ulaw(0)
+        "deemph": jnp.zeros((batch,), jnp.float32),
+        "rng": jnp.asarray(rng_seed),
+    }
+
+
+def _sample_tree(logits: jax.Array, rng: jax.Array):
+    """Hierarchical 8-bit sampling (sample_mdense, nnet.c:163-214).
+
+    logits: (B, 256) dual-FC outputs BEFORE sigmoid; the C compares random
+    thresholds in logit space against the table -log((1-p)/p). Two KISS99
+    draws supply 8 threshold bytes. Returns (exc (B,) int32, new rng)."""
+    tbl = jnp.asarray(SAMPLING_LOGIT_TABLE)
+    rng, r1 = kiss99_next(rng)
+    rng, r2 = kiss99_next(rng)
+    thr = []
+    for r in (r1, r2):
+        for k in range(4):
+            thr.append(tbl[((r >> (8 * k)) & 0xFF).astype(jnp.int32)])
+    val = jnp.zeros(logits.shape[:-1], jnp.int32)
+    for b in range(8):
+        idx = val | (1 << b)
+        logit = jnp.take_along_axis(logits, idx[..., None], axis=-1)[..., 0]
+        bit = (thr[b] < logit).astype(jnp.int32)
+        val = (val << 1) | bit
+    return val, rng
+
+
+def _gru(h, zrh_in, wr, br, approx):
+    """Reset-after GRU step with precomputed input-side preactivation."""
+    n = h.shape[-1]
+    recur = h @ wr + br
+    sig = activations.get("sigmoid", approx)
+    act = activations.get("tanh", approx)
+    z = sig(zrh_in[..., :n] + recur[..., :n])
+    r = sig(zrh_in[..., n:2 * n] + recur[..., n:2 * n])
+    hcand = act(zrh_in[..., 2 * n:] + r * recur[..., 2 * n:])
+    return z * h + (1.0 - z) * hcand
+
+
+def sample_step(tables: Dict[str, Any], state: Dict[str, jax.Array],
+                cond_a: jax.Array, cond_b: jax.Array, lpc: jax.Array,
+                approx: bool, preemph: float,
+                target: Optional[jax.Array] = None,
+                teacher_mask: Optional[jax.Array] = None):
+    """One 1/16000 s step for all streams. cond_*: (B, 3N), lpc: (B, 16)."""
+    # 1. LPC prediction (lpcnet.c:252)
+    pred = -jnp.sum(state["last_sig"] * lpc, axis=-1)
+    # 2. quantize inputs
+    lsu = lin2ulaw(state["last_sig"][..., 0])
+    pu = lin2ulaw(pred)
+    # 3-4. GRU-A
+    zrh_a = (cond_a
+             + jnp.take(tables["tbl_sig"], lsu, axis=0)
+             + jnp.take(tables["tbl_pred"], pu, axis=0)
+             + jnp.take(tables["tbl_exc"], state["last_exc"], axis=0))
+    gru_a = _gru(state["gru_a"], zrh_a, tables["wr_a"], tables["br_a"], approx)
+    # 5. GRU-B
+    zrh_b = cond_b + gru_a @ tables["wi_b"]
+    gru_b = _gru(state["gru_b"], zrh_b, tables["wr_b"], tables["br_b"], approx)
+    # 6. dual-FC logits + tree sample
+    dfc = tables["dual_fc"]
+    act = activations.get("tanh", approx)
+    y = jnp.einsum("bi,cio->bco", gru_b, dfc["w"]) + dfc["b"]
+    logits = jnp.sum(act(y) * dfc["factor"], axis=-2)
+    exc, rng = _sample_tree(logits, state["rng"])
+    # 7. excitation -> signal
+    if target is not None:
+        tf_sig = target - preemph * state["deemph"]
+        tf_exc = lin2ulaw(tf_sig - pred)
+        exc = jnp.where(teacher_mask, tf_exc, exc)
+        pcm = jnp.where(teacher_mask, tf_sig, pred + ulaw2lin(exc))
+    else:
+        pcm = pred + ulaw2lin(exc)
+    last_sig = jnp.concatenate(
+        [pcm[..., None], state["last_sig"][..., :-1]], axis=-1)
+    out = pcm + preemph * state["deemph"]
+    deemph = out
+    out = jnp.clip(out, -32767.0, 32767.0)
+    out = jnp.floor(0.5 + out)  # (lpcnet.c:269)
+    if target is not None:
+        out = jnp.where(teacher_mask, target, out)
+    new_state = {"gru_a": gru_a, "gru_b": gru_b, "last_sig": last_sig,
+                 "last_exc": exc, "deemph": deemph, "rng": rng}
+    return new_state, out
+
+
+def synthesize_frames(tables: Dict[str, Any], state: Dict[str, jax.Array],
+                      conds: Dict[str, jax.Array], cfg,
+                      target: Optional[jax.Array] = None,
+                      preload: Optional[jax.Array] = None
+                      ) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """Synthesize T frames for B streams.
+
+    conds: cond_a (B,T,3Na), cond_b (B,T,3Nb), lpc (B,T,16)   [frame rate]
+    target: optional (B, T*frame_size) teacher waveform (float, 16-bit range)
+    preload: optional (B, T) int32 — per frame, samples [0, preload) are
+             teacher-forced (lpcnet_synthesize_impl's preload arg).
+    Returns (new_state, pcm (B, T*frame_size) float32 of rounded samples).
+    """
+    B, T = conds["cond_a"].shape[:2]
+    fs = cfg.frame_size
+    approx, preemph = cfg.approx, cfg.preemph
+
+    tgt = None
+    if target is not None:
+        tgt = target.reshape(B, T, fs).transpose(1, 0, 2)  # (T, B, fs)
+    pre = None
+    if preload is not None:
+        pre = preload.transpose(1, 0)  # (T, B)
+
+    cond_a = conds["cond_a"].transpose(1, 0, 2)
+    cond_b = conds["cond_b"].transpose(1, 0, 2)
+    lpc = conds["lpc"].transpose(1, 0, 2)
+
+    if tgt is not None:
+        def frame_body(state, frame_inputs):
+            ca, cb, lp, tg, pl = frame_inputs
+
+            def samp_body(st, i):
+                return sample_step(tables, st, ca, cb, lp, approx, preemph,
+                                   target=tg[:, i], teacher_mask=i < pl)
+
+            return jax.lax.scan(samp_body, state, jnp.arange(fs))
+
+        state, pcm = jax.lax.scan(frame_body, state,
+                                  (cond_a, cond_b, lpc, tgt, pre))
+    else:
+        def frame_body(state, frame_inputs):
+            ca, cb, lp = frame_inputs
+
+            def samp_body(st, _):
+                return sample_step(tables, st, ca, cb, lp, approx, preemph)
+
+            return jax.lax.scan(samp_body, state, jnp.arange(fs))
+
+        state, pcm = jax.lax.scan(frame_body, state, (cond_a, cond_b, lpc))
+    # pcm: (T, fs, B) -> (B, T*fs)
+    return state, pcm.transpose(2, 0, 1).reshape(B, T * fs)

@@ -1,0 +1,70 @@
+"""High-level synthesis API: the functional equivalent of the reference's
+public C API (include/lpcnet.h:163-198 lpcnet_create/_synthesize/_destroy).
+
+State is an explicit pytree (state-in/state-out), so streams are trivially
+batched, checkpointable, and shardable across a device mesh.
+
+Usage:
+    voc = Synthesizer(cfg)                  # random-init or pass params
+    state = voc.reset(batch=256)
+    state, pcm = voc.synthesize(state, features)   # (B, T, 36) -> (B, T*160)
+"""
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import NB_TOTAL_FEATURES
+from .kernels import sample_scan
+from .models import lpcnet
+
+
+class Synthesizer:
+    def __init__(self, cfg: Optional[lpcnet.LPCNetConfig] = None,
+                 params: Optional[Dict[str, Any]] = None,
+                 rng: Optional[jax.Array] = None):
+        self.cfg = cfg or lpcnet.LPCNetConfig()
+        if params is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            params = lpcnet.init_params(rng, self.cfg)
+        self.params = params
+        self.tables = lpcnet.precompute_sample_tables(params, self.cfg)
+        self._synth = jax.jit(self._synth_impl)
+        self._synth_teacher = jax.jit(self._synth_teacher_impl)
+
+    def reset(self, batch: int, per_stream_rng: bool = False):
+        """Fresh per-stream state (lpcnet_reset, lpcnet.c:174-182)."""
+        from .ops import kiss99
+        seeds = kiss99.batched_seed(batch, per_stream=per_stream_rng)
+        return sample_scan.init_state(batch, self.cfg, seeds)
+
+    def conditions(self, features: jax.Array) -> Dict[str, jax.Array]:
+        return lpcnet.frame_conditions(self.params, features, self.cfg,
+                                       self.tables)
+
+    def _synth_impl(self, state, features):
+        conds = lpcnet.frame_conditions(self.params, features, self.cfg,
+                                        self.tables)
+        return sample_scan.synthesize_frames(self.tables, state, conds,
+                                             self.cfg)
+
+    def _synth_teacher_impl(self, state, features, target, preload):
+        conds = lpcnet.frame_conditions(self.params, features, self.cfg,
+                                        self.tables)
+        return sample_scan.synthesize_frames(self.tables, state, conds,
+                                             self.cfg, target=target,
+                                             preload=preload)
+
+    def synthesize(self, state, features: jax.Array
+                   ) -> Tuple[Dict[str, jax.Array], jax.Array]:
+        """features: (B, T, 20..36) -> (new_state, pcm (B, T*160) float32
+        of rounded int16-range samples)."""
+        return self._synth(state, features)
+
+    def synthesize_teacher(self, state, features, target, preload):
+        """Teacher-forced synthesis (the C 'preload' mode, lpcnet.c:256-261):
+        per frame, samples [0, preload[b,t]) follow `target` instead of the
+        sampled excitation — used by PLC resync and decoder priming."""
+        return self._synth_teacher(state, features, target, preload)

@@ -1,0 +1,186 @@
+"""Cross-check the batched lax.scan synthesis against an independent scalar
+NumPy simulator that follows the reference C semantics step by step
+(lpcnet_synthesize_tail_impl lpcnet.c:235-271, run_sample_network
+lpcnet.c:146-167, compute_sparse_gru/compute_gruB nnet.c:326-448,
+sample_mdense nnet.c:163-214).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpcnet_tpu.constants import LPC_ORDER, NB_TOTAL_FEATURES
+from lpcnet_tpu.kernels import sample_scan
+from lpcnet_tpu.models import layers, lpcnet
+from lpcnet_tpu.ops import kiss99 as k99
+from lpcnet_tpu.ops.mulaw import lin2ulaw, ulaw2lin
+from lpcnet_tpu.ops.tables import SAMPLING_LOGIT_TABLE
+from lpcnet_tpu.vocoder import Synthesizer
+
+CFG = lpcnet.LPCNetConfig()
+
+
+def _np(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x, dtype=np.float64)).astype(np.float32)
+
+
+def _lin2ulaw_np(x):
+    return int(np.asarray(lin2ulaw(jnp.float32(x))))
+
+
+def _ulaw2lin_np(u):
+    return float(np.asarray(ulaw2lin(jnp.int32(u))))
+
+
+class NumpyTwin:
+    """Scalar single-stream synthesis following the C control flow."""
+
+    def __init__(self, tables, cfg):
+        self.t = {k: (_np(v) if not isinstance(v, dict)
+                      else {k2: _np(v2) for k2, v2 in v.items()})
+                  for k, v in tables.items()}
+        self.cfg = cfg
+        self.gru_a = np.zeros(cfg.gru_a_units, np.float32)
+        self.gru_b = np.zeros(cfg.gru_b_units, np.float32)
+        self.last_sig = np.zeros(LPC_ORDER, np.float32)
+        self.last_exc = 128
+        self.deemph = 0.0
+        self.rng = k99.default_seed()
+
+    def _rand(self):
+        self.rng, r = k99._next_np(self.rng)
+        return int(r)
+
+    def _gru(self, h, zrh, wr, br):
+        n = h.shape[0]
+        recur = h @ wr + br
+        z = _sigmoid(zrh[:n] + recur[:n])
+        r = _sigmoid(zrh[n:2 * n] + recur[n:2 * n])
+        hc = np.tanh(zrh[2 * n:] + r * recur[2 * n:]).astype(np.float32)
+        return z * h + (1 - z) * hc
+
+    def step(self, cond_a, cond_b, lpc):
+        t = self.t
+        pred = -float(self.last_sig @ lpc)
+        lsu = _lin2ulaw_np(self.last_sig[0])
+        pu = _lin2ulaw_np(pred)
+        zrh_a = cond_a + t["tbl_sig"][lsu] + t["tbl_pred"][pu] \
+            + t["tbl_exc"][self.last_exc]
+        self.gru_a = self._gru(self.gru_a, zrh_a, t["wr_a"], t["br_a"])
+        zrh_b = cond_b + self.gru_a @ t["wi_b"]
+        self.gru_b = self._gru(self.gru_b, zrh_b, t["wr_b"], t["br_b"])
+        dfc = t["dual_fc"]
+        y = np.einsum("i,cio->co", self.gru_b, dfc["w"]) + dfc["b"]
+        logits = (np.tanh(y) * dfc["factor"]).sum(axis=0)
+        # thresholds: 2 draws -> 8 bytes (nnet.c:178-184)
+        thr = []
+        for _ in range(2):
+            r = self._rand()
+            for kbyte in range(4):
+                thr.append(SAMPLING_LOGIT_TABLE[(r >> (8 * kbyte)) & 0xFF])
+        val = 0
+        for b in range(8):
+            i = (1 << b) | val
+            bit = 1 if thr[b] < logits[i] else 0
+            val = (val << 1) | bit
+        exc = val
+        pcm = pred + _ulaw2lin_np(exc)
+        self.last_sig = np.concatenate([[pcm], self.last_sig[:-1]]).astype(np.float32)
+        self.last_exc = exc
+        out = pcm + self.cfg.preemph * self.deemph
+        self.deemph = out
+        out = min(max(out, -32767.0), 32767.0)
+        return np.floor(0.5 + out)
+
+
+@pytest.fixture(scope="module")
+def voc():
+    return Synthesizer(CFG, rng=jax.random.PRNGKey(42))
+
+
+@pytest.fixture(scope="module")
+def features():
+    rs = np.random.RandomState(7)
+    T = 4
+    f = np.zeros((2, T, NB_TOTAL_FEATURES), np.float32)
+    f[:, :, :18] = rs.randn(2, T, 18) * 0.3
+    f[:, :, 18] = rs.uniform(-1, 1, (2, T))   # pitch period feature
+    f[:, :, 19] = rs.uniform(0, 1, (2, T))    # pitch corr
+    return f
+
+
+class TestScanVsNumpyTwin:
+    def test_waveform_match(self, voc, features):
+        state = voc.reset(batch=2)
+        new_state, pcm = voc.synthesize(state, jnp.asarray(features))
+        pcm = np.asarray(pcm)
+
+        conds = jax.tree.map(np.asarray, voc.conditions(jnp.asarray(features)))
+        for b in range(2):
+            twin = NumpyTwin(voc.tables, CFG)
+            out = []
+            for t in range(features.shape[1]):
+                for _ in range(CFG.frame_size):
+                    out.append(twin.step(conds["cond_a"][b, t],
+                                         conds["cond_b"][b, t],
+                                         conds["lpc"][b, t]))
+            out = np.array(out, np.float32)
+            # excitation decisions are discrete; both paths must take the
+            # same branch at every sample -> exact waveform equality
+            np.testing.assert_allclose(pcm[b], out, rtol=0, atol=1.0)
+            assert (pcm[b] != out).mean() < 0.02
+
+    def test_same_seed_streams_identical(self, voc, features):
+        f = jnp.asarray(np.repeat(features[:1], 4, axis=0))
+        state = voc.reset(batch=4)
+        _, pcm = voc.synthesize(state, f)
+        pcm = np.asarray(pcm)
+        for b in range(1, 4):
+            np.testing.assert_array_equal(pcm[0], pcm[b])
+
+    def test_deterministic(self, voc, features):
+        state = voc.reset(batch=2)
+        _, p1 = voc.synthesize(state, jnp.asarray(features))
+        state = voc.reset(batch=2)
+        _, p2 = voc.synthesize(state, jnp.asarray(features))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_teacher_forcing_reproduces_target(self, voc, features):
+        B, T = features.shape[:2]
+        rs = np.random.RandomState(3)
+        target = np.round(rs.randn(B, T * CFG.frame_size) * 1000).astype(np.float32)
+        preload = np.full((B, T), CFG.frame_size, np.int32)
+        state = voc.reset(batch=B)
+        _, pcm = voc.synthesize_teacher(state, jnp.asarray(features),
+                                        jnp.asarray(target),
+                                        jnp.asarray(preload))
+        np.testing.assert_array_equal(np.asarray(pcm), target)
+
+    def test_output_in_int16_range(self, voc, features):
+        state = voc.reset(batch=2)
+        _, pcm = voc.synthesize(state, jnp.asarray(features))
+        pcm = np.asarray(pcm)
+        assert pcm.min() >= -32767 and pcm.max() <= 32767
+        assert np.all(pcm == np.round(pcm))
+
+
+class TestConvStreamingEquivalence:
+    def test_conv_step_matches_same_padding(self):
+        rng = jax.random.PRNGKey(1)
+        p = layers.conv1d_init(rng, 8, 16, 3)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 8))
+        full = layers.conv1d_same_apply(p, x, "tanh")
+        # streaming: output at step t = same-padded output at t-1 (delay 1)
+        mem = jnp.zeros((2, 2, 8))
+        outs = []
+        for t in range(6):
+            y, mem = layers.conv1d_step(p, mem, x[:, t], "tanh")
+            outs.append(y)
+        stream = jnp.stack(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(stream[:, 1:]),
+                                   np.asarray(full[:, :-1]), rtol=1e-5,
+                                   atol=1e-6)
