@@ -286,18 +286,42 @@ def pitch_features(sp: Dict[str, jax.Array], quantize: bool):
     return jnp.stack([f18, f19], axis=-1)
 
 
+def _single_frame_pitch(bps, bests, xcp, fw):
+    """Backward pass + features for ONE frame's 2 subframes
+    (process_single_frame, lpcnet_enc.c:814-870).
+
+    bps: (B, 2, 224), bests: (B, 2), xcp: (B, 2, 256), fw: (B, 2).
+    Returns (B, 2) [pitch_feat, corr_feat]."""
+    bi = bests[:, 1]
+    best = [None, None]
+    corr = jnp.zeros(bi.shape, jnp.float32)
+    for sub in (1, 0):
+        best[sub] = (PITCH_MAX_PERIOD - bi).astype(jnp.float32)
+        corr = corr + fw[:, sub] * jnp.take_along_axis(
+            xcp[:, sub], bi[:, None], axis=-1)[:, 0]
+        bi = jnp.take_along_axis(bps[:, sub], bi[:, None], axis=-1)[:, 0]
+    frame_corr = corr / 2.0
+    pairsum = best[0] + best[1]
+    f18 = 0.01 * (jnp.clip(pairsum, 66, 510) - 200.0)
+    return jnp.stack([f18, frame_corr - 0.5], axis=-1)
+
+
 def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
-                     quantize_pitch: bool = False):
-    """Extract features for T frames (T % 4 == 0), batched over streams.
+                     quantize_pitch: bool = False, mode: str = "superframe"):
+    """Extract features for T frames, batched over streams.
 
     pcm: (B, T*160) int16-range float. Returns (new_state, features
-    (B, T, 36), aux dict with superframe pitch quantities for the codec).
-    Equivalent to 4x lpcnet_compute_single_frame... + process_superframe
-    with encode=0 (lpcnet_enc.c:895-909), without VQ.
+    (B, T, 36), aux list of superframe pitch dicts for the codec).
+
+    mode="superframe" (T % 4 == 0): pitch via 8-subframe Viterbi +
+    regression, equivalent to lpcnet_compute_features (lpcnet_enc.c:895-909).
+    mode="single": per-frame 2-subframe pitch (process_single_frame,
+    lpcnet_enc.c:814-870) — the streaming variant used by the PLC.
     """
     B, S = pcm.shape
     T = S // FRAME_SIZE
-    assert T % 4 == 0, "chunk must be whole superframes (4 frames)"
+    if mode == "superframe":
+        assert T % 4 == 0, "chunk must be whole superframes (4 frames)"
 
     # 1. pre-emphasis
     xp, new_mem = _preemph(pcm, state["mem_preemph"])
@@ -322,10 +346,12 @@ def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
         [state["exc_hist"], exc.reshape(B, S)], axis=-1)
     xc, ener0 = pitch_xcorr(exc_stream)         # (B, 2T, 256), (B, 2T)
 
-    # weight normalization per superframe (lpcnet_enc.c:602-603)
-    nsf = T // 4
-    fw = ener0.reshape(B, nsf, 8)
-    fw = fw * (8.0 / (1e-15 + jnp.sum(fw, axis=-1, keepdims=True)))
+    # weight normalization: per superframe (lpcnet_enc.c:602-603) or per
+    # frame (lpcnet_enc.c:822-823)
+    group = 8 if mode == "superframe" else 2
+    ngrp = (2 * T) // group
+    fw = ener0.reshape(B, ngrp, group)
+    fw = fw * (group / (1e-15 + jnp.sum(fw, axis=-1, keepdims=True)))
     fw = fw.reshape(B, 2 * T)
 
     # 6. Viterbi over all subframes
@@ -337,19 +363,28 @@ def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
     new_state.update(path=vstate["path"], path_all=vstate["path_all"],
                      best_i=vstate["best_i"])
 
-    # 7. per-superframe backward + regression
+    # 7. backward pass + pitch features
     feats = jnp.zeros((B, T, NB_TOTAL_FEATURES), jnp.float32)
     feats = feats.at[..., :NB_BANDS].set(ceps)
     feats = feats.at[..., NB_BANDS + 2:].set(lpc)
     sps = []
-    for g in range(nsf):
-        sl = slice(8 * g, 8 * (g + 1))
-        sp = _superframe_pitch(bps[:, sl], bests[:, sl], xcp[:, sl],
-                               fw[:, sl], quantize_pitch)
-        pf = pitch_features(sp, quantize_pitch)   # (B, 4, 2)
-        feats = jax.lax.dynamic_update_slice(
-            feats, pf, (0, 4 * g, NB_BANDS))
-        sps.append(sp)
+    if mode == "superframe":
+        for g in range(T // 4):
+            sl = slice(8 * g, 8 * (g + 1))
+            sp = _superframe_pitch(bps[:, sl], bests[:, sl], xcp[:, sl],
+                                   fw[:, sl], quantize_pitch)
+            pf = pitch_features(sp, quantize_pitch)   # (B, 4, 2)
+            feats = jax.lax.dynamic_update_slice(
+                feats, pf, (0, 4 * g, NB_BANDS))
+            sps.append(sp)
+    else:
+        pfs = []
+        for t in range(T):
+            sl = slice(2 * t, 2 * (t + 1))
+            pfs.append(_single_frame_pitch(bps[:, sl], bests[:, sl],
+                                           xcp[:, sl], fw[:, sl]))
+        feats = feats.at[..., NB_BANDS:NB_BANDS + 2].set(
+            jnp.stack(pfs, axis=1))
     new_state["vq_mem"] = feats[:, T - 1, :NB_BANDS]
     return new_state, feats, sps
 

@@ -153,6 +153,56 @@ def frame_conditions(params, features, cfg: LPCNetConfig,
     return {"cond_a": cond_a, "cond_b": cond_b, "lpc": lpc, "cfeat": cfeat}
 
 
+def frame_net_init_state(batch: int, cfg: LPCNetConfig):
+    """Streaming frame-network state (conv delay lines + LPC pipeline),
+    the functional twin of NNetState + old_lpc (lpcnet_private.h:33-47)."""
+    return {
+        "conv1_mem": jnp.zeros((batch, 2, cfg.frame_in_size), jnp.float32),
+        "conv2_mem": jnp.zeros((batch, 2, cfg.cond_size), jnp.float32),
+        "old_lpc": jnp.zeros((batch, cfg.lookahead, cfg.lpc_order),
+                             jnp.float32),
+        "frame_count": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def frame_net_step(params, tables, fstate, features, cfg: LPCNetConfig):
+    """One streaming frame-conditioning step (run_frame_network,
+    lpcnet.c:82-120): causal convs with warm-up zeroing, FEATURES_DELAY LPC
+    delay line. features: (B, >=20). Returns (new_fstate, dict with cond_a,
+    cond_b, lpc aligned to the conv-delayed conditions)."""
+    ap = cfg.approx
+    pidx = pitch_index(features)
+    pe = layers.embedding_apply(params["embed_pitch"], pidx)
+    x = jnp.concatenate([features[..., :cfg.nb_features], pe], axis=-1)
+    c1, c1_mem = layers.conv1d_step(params["conv1"], fstate["conv1_mem"], x,
+                                    "tanh", ap)
+    fc = fstate["frame_count"]
+    c1 = jnp.where((fc < 1)[:, None], 0.0, c1)       # lpcnet.c:99
+    c2, c2_mem = layers.conv1d_step(params["conv2"], fstate["conv2_mem"], c1,
+                                    "tanh", ap)
+    c2 = jnp.where((fc < cfg.lookahead)[:, None], 0.0, c2)  # lpcnet.c:101
+    h = layers.dense_apply(params["dense1"], c2, "tanh", ap)
+    cfeat = layers.dense_apply(params["dense2"], h, "tanh", ap)
+    cond_a = cfeat @ tables["cond_a_w"] + tables["bi_a"]
+    cond_b = cfeat @ tables["cond_b_w"] + tables["bi_b"]
+    if cfg.e2e:
+        lpc = rc2lpc(cfeat[..., :cfg.lpc_order])
+        old_lpc = fstate["old_lpc"]
+    else:
+        # LPC delayed by FEATURES_DELAY frames (lpcnet.c:109-115)
+        new_lpc, _ = dsp.lpc_from_cepstrum(features[..., :NB_BANDS])
+        lpc = fstate["old_lpc"][:, -1]
+        old_lpc = jnp.concatenate(
+            [new_lpc[:, None], fstate["old_lpc"][:, :-1]], axis=1)
+    if cfg.lpc_gamma != 1.0:
+        lpc = dsp.lpc_weighting(lpc, cfg.lpc_gamma)
+    new_fstate = {"conv1_mem": c1_mem, "conv2_mem": c2_mem,
+                  "old_lpc": old_lpc,
+                  "frame_count": jnp.minimum(fc + 1, 1000)}
+    return new_fstate, {"cond_a": cond_a, "cond_b": cond_b, "lpc": lpc,
+                        "cfeat": cfeat}
+
+
 def rc2lpc(rc: jax.Array) -> jax.Array:
     """Reflection coefficients -> LPC by the step-up recursion
     (lpcnet.c:56-79). rc: (..., order)."""

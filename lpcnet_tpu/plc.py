@@ -1,0 +1,297 @@
+"""Packet-loss concealment engine (reference src/lpcnet_plc.c, causal mode).
+
+Batched, masked re-design: every 10-ms step processes B independent streams,
+each with its own loss flag; all three control paths (good frame, first good
+frame after loss = "blend", lost frame) are computed batched and selected
+per stream with masks. This replaces the reference's per-stream branchy C
+(lpcnet_plc_update_causal :188-290, lpcnet_plc_conceal_causal :293-337)
+with two synthesis passes + two feature passes per frame.
+
+Deliberate divergences from the C (documented):
+  * We run teacher-forced state updates on every good frame — the
+    reference's `#else` branch (lpcnet_plc.c:273-279). The C default
+    (PLC_SKIP_UPDATES) skips them to save CPU; batched TPU synthesis makes
+    them free and they strictly improve concealment start state.
+  * A lost frame synthesizes all 160 samples from the newly predicted
+    features; the C synthesizes the first 80 from the previous frame's
+    conditions (lpcnet_plc.c:315-320). Blend cross-fade hides both.
+  * KISS99 draws advance on masked-off paths (a batched-execution artifact);
+    per-stream outputs remain deterministic functions of inputs.
+
+Feature queue for FEC (forward error correction via DRED) follows
+lpcnet_plc_fec_add / get_fec_or_pred / fec_rewind (lpcnet_plc.c:111-173).
+"""
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import features as F
+from .constants import (FRAME_SIZE, NB_BANDS, NB_FEATURES, NB_TOTAL_FEATURES,
+                        PLC_MAX_FEC, TRAINING_OFFSET)
+from .kernels import sample_scan
+from .models import lpcnet as lpcnet_model
+from .models import plc as plc_model
+from .ops import burg as burg_ops
+
+# energy attenuation after repeated losses (lpcnet_plc.c:292)
+ATT_TABLE = np.array([0, 0, -.2, -.2, -.4, -.4, -.8, -.8, -1.6, -1.6],
+                     dtype=np.float32)
+DC_CONST = 0.003
+
+
+@dataclasses.dataclass(frozen=True)
+class PLCOptions:
+    remove_dc: bool = False
+    use_fec: bool = True
+
+
+class PLCEngine:
+    def __init__(self, lpcnet_params, plc_params,
+                 cfg: Optional[lpcnet_model.LPCNetConfig] = None,
+                 plc_cfg: Optional[plc_model.PLCConfig] = None,
+                 options: PLCOptions = PLCOptions()):
+        self.cfg = cfg or lpcnet_model.LPCNetConfig()
+        self.plc_cfg = plc_cfg or plc_model.PLCConfig()
+        self.params = lpcnet_params
+        self.plc_params = plc_params
+        self.tables = lpcnet_model.precompute_sample_tables(lpcnet_params,
+                                                            self.cfg)
+        self.options = options
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self, batch: int) -> Dict[str, Any]:
+        return {
+            "synth": sample_scan.init_state(batch, self.cfg),
+            "fnet": lpcnet_model.frame_net_init_state(batch, self.cfg),
+            "enc": F.init_state(batch),
+            "plc_net": plc_model.init_net_state(batch, self.plc_cfg),
+            "plc_copies": jax.tree.map(
+                lambda x: jnp.repeat(x[:, None], self.cfg.lookahead + 1, 1),
+                plc_model.init_net_state(batch, self.plc_cfg)),
+            "loss_count": jnp.zeros((batch,), jnp.int32),
+            "blend": jnp.zeros((batch,), bool),
+            "fec": jnp.zeros((batch, PLC_MAX_FEC, NB_FEATURES), jnp.float32),
+            "fec_fill": jnp.zeros((batch,), jnp.int32),
+            "fec_read": jnp.zeros((batch,), jnp.int32),
+            "fec_keep": jnp.zeros((batch,), jnp.int32),
+            "fec_skip": jnp.zeros((batch,), jnp.int32),
+            "dc_mem": jnp.zeros((batch,), jnp.float32),
+            "syn_dc": jnp.zeros((batch,), jnp.float32),
+        }
+
+    def fec_add(self, state, feats, mask=None):
+        """Queue FEC features (lpcnet_plc_fec_add, lpcnet_plc.c:111-132).
+        feats: (B, 20); mask: (B,) bool selects streams that receive data."""
+        B = feats.shape[0]
+        if mask is None:
+            mask = jnp.ones((B,), bool)
+        fill = state["fec_fill"]
+        # compaction when full: shift window [keep, fill) to the origin
+        full = fill >= PLC_MAX_FEC
+        shift = jnp.where(full, state["fec_keep"], 0)
+        idx = (jnp.arange(PLC_MAX_FEC)[None, :] + shift[:, None]) \
+            % PLC_MAX_FEC
+        fec = jnp.take_along_axis(state["fec"],
+                                  idx[..., None].repeat(NB_FEATURES, -1),
+                                  axis=1)
+        fill = fill - shift
+        read = state["fec_read"] - shift
+        keep = state["fec_keep"] - shift
+        wpos = jnp.clip(fill, 0, PLC_MAX_FEC - 1)
+        onehot = (jnp.arange(PLC_MAX_FEC)[None, :] == wpos[:, None])
+        upd = onehot[..., None] & mask[:, None, None]
+        fec = jnp.where(upd, feats[:, None, :], fec)
+        new = dict(state)
+        new.update(fec=fec,
+                   fec_fill=jnp.where(mask, jnp.minimum(fill + 1,
+                                                        PLC_MAX_FEC), fill),
+                   fec_read=read, fec_keep=jnp.maximum(keep, 0))
+        return new
+
+    def fec_clear(self, state):
+        z = jnp.zeros_like(state["fec_fill"])
+        return {**state, "fec_fill": z, "fec_read": z, "fec_keep": z,
+                "fec_skip": z}
+
+    def step(self, state, pcm, lost):
+        """Process one 10-ms frame per stream.
+
+        pcm: (B, 160) float (ignored where lost); lost: (B,) bool.
+        Returns (new_state, output pcm (B, 160))."""
+        return self._step(state, pcm, lost)
+
+    # ------------------------------------------------------------------
+    def _synth_frame(self, synth_state, fstate, feats, target=None,
+                     preload=None):
+        """One streaming synthesis frame through the frame-rate net."""
+        fstate, cond = lpcnet_model.frame_net_step(
+            self.params, self.tables, fstate, feats, self.cfg)
+        conds = {k: v[:, None] for k, v in cond.items() if k != "cfeat"}
+        tgt = target[:, :] if target is not None else None
+        pre = preload[:, None] if preload is not None else None
+        new_synth, out = sample_scan.synthesize_frames(
+            self.tables, synth_state, conds, self.cfg,
+            target=tgt, preload=pre)
+        # first FEATURES_DELAY frames are silence (lpcnet.c:239-243)
+        warm = (fstate["frame_count"] > self.cfg.lookahead)
+        out = jnp.where(warm[:, None], out, 0.0)
+        return new_synth, fstate, out
+
+    def _step_impl(self, state, pcm, lost):
+        B = pcm.shape[0]
+        cfg = self.cfg
+        lostf = lost[:, None].astype(jnp.float32)
+
+        # --- optional DC removal on the incoming audio (lpcnet_plc.c:195-204)
+        dc_mem = state["dc_mem"] + jnp.where(lost, 0.0, 0.0)
+        if self.options.remove_dc:
+            dc_mem = state["dc_mem"] + state["syn_dc"]
+            def dc_scan(m, x):
+                lp = jnp.floor(0.5 + m)
+                m = m + DC_CONST * (x - m)
+                return m, lp
+            dc_mem2, lp = jax.lax.scan(dc_scan, dc_mem, pcm.T)
+            lp = lp.T
+            pcm_proc = jnp.where(lost[:, None], pcm, pcm - lp)
+            dc_mem = jnp.where(lost, state["dc_mem"], dc_mem2)
+            syn_dc = jnp.where(lost, state["syn_dc"], 0.0)
+        else:
+            pcm_proc = pcm
+            lp = jnp.zeros_like(pcm)
+            syn_dc = state["syn_dc"]
+
+        # --- burg features of incoming audio (valid on good frames)
+        burg36 = burg_ops.burg_cepstral_analysis(pcm_proc)
+
+        # --- enc features pass 1 on the input (valid for good non-blend)
+        enc1, feats1, _ = F.compute_features(state["enc"], pcm_proc,
+                                             mode="single")
+        featg = feats1[:, 0, :NB_FEATURES]
+
+        # --- FEC availability (get_fec_or_pred, lpcnet_plc.c:147-166)
+        has_fec = ((state["fec_read"] < state["fec_fill"])
+                   & (state["fec_skip"] == 0) & lost)
+        fec_feat = jnp.take_along_axis(
+            state["fec"],
+            jnp.clip(state["fec_read"], 0, PLC_MAX_FEC - 1)
+            [:, None, None].repeat(NB_FEATURES, -1), axis=1)[:, 0]
+
+        # --- PLC net input per path
+        zeros36 = jnp.zeros((B, 2 * NB_BANDS), jnp.float32)
+        zeros20 = jnp.zeros((B, NB_FEATURES), jnp.float32)
+        one = jnp.ones((B, 1), jnp.float32)
+        in_good = jnp.concatenate([burg36, featg, one], axis=-1)
+        in_blend = jnp.concatenate([burg36, zeros20, one], axis=-1)
+        in_lost = jnp.concatenate([zeros36, zeros20, 0 * one], axis=-1)
+        in_fec = jnp.concatenate([zeros36, fec_feat, -one], axis=-1)
+        blend = state["blend"] & ~lost
+        x = jnp.where(lost[:, None],
+                      jnp.where(has_fec[:, None], in_fec, in_lost),
+                      jnp.where(blend[:, None], in_blend, in_good))
+
+        # restore plc state from the copy on blend (lpcnet_plc.c:217)
+        copies = state["plc_copies"]
+        plc_net_in = jax.tree.map(
+            lambda cur, cp: jnp.where(blend[:, None], cp[:, -1], cur),
+            state["plc_net"], copies)
+        # push a copy before prediction on lost frames (lpcnet_plc.c:305-314)
+        new_copies = jax.tree.map(
+            lambda cp, cur: jnp.where(
+                lost[:, None, None],
+                jnp.concatenate([cur[:, None], cp[:, :-1]], axis=1), cp),
+            copies, plc_net_in)
+
+        plc_net_out, pred = plc_model.step(self.plc_params, plc_net_in, x,
+                                           self.plc_cfg)
+
+        # concealment features: FEC frame or prediction, with c0 attenuation
+        # (lpcnet_plc.c:316-319)
+        lc = state["loss_count"]
+        att = jnp.where(
+            lc >= 10,
+            ATT_TABLE[9] - 2.0 * (lc - 9).astype(jnp.float32),
+            jnp.asarray(ATT_TABLE)[jnp.clip(lc, 0, 9)])
+        feat_lost = jnp.where(has_fec[:, None], fec_feat, pred)
+        feat_lost = feat_lost.at[:, 0].set(
+            jnp.maximum(-10.0, feat_lost[:, 0] + att))
+        feat_blend = pred
+
+        # --- synthesis pass A: free-run for lost | blend streams
+        featsA20 = jnp.where(lost[:, None], feat_lost, feat_blend)
+        featsA = jnp.zeros((B, NB_TOTAL_FEATURES), jnp.float32)
+        featsA = featsA.at[:, :NB_FEATURES].set(featsA20)
+        synthA, fnetA, outA = self._synth_frame(state["synth"],
+                                                state["fnet"], featsA)
+
+        # blend cross-fade over the first half frame (lpcnet_plc.c:225-229)
+        i = jnp.arange(TRAINING_OFFSET, dtype=jnp.float32)
+        w = 0.5 - 0.5 * jnp.cos(np.pi * i / TRAINING_OFFSET)
+        fade = w[None, :] * pcm_proc[:, :TRAINING_OFFSET] \
+            + (1 - w)[None, :] * outA[:, :TRAINING_OFFSET]
+        blended = jnp.concatenate([fade, pcm_proc[:, TRAINING_OFFSET:]],
+                                  axis=-1)
+        output = jnp.where(lost[:, None], outA,
+                           jnp.where(blend[:, None], blended, pcm_proc))
+
+        # --- synthesis pass B: teacher-forced resync for good streams
+        featsB = jnp.zeros((B, NB_TOTAL_FEATURES), jnp.float32)
+        featsB = featsB.at[:, :NB_FEATURES].set(
+            jnp.where(blend[:, None], pred, featg))
+        preload = jnp.full((B,), FRAME_SIZE, jnp.int32)
+        synthB, fnetB, _ = self._synth_frame(state["synth"], state["fnet"],
+                                             featsB, target=output,
+                                             preload=preload)
+
+        pick = lambda a, b: jnp.where(
+            lost.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+        new_synth = jax.tree.map(pick, synthA, synthB)
+        new_fnet = jax.tree.map(pick, fnetA, fnetB)
+
+        # --- enc features pass 2 on the output for lost | blend streams
+        redo = lost | blend
+        enc2, _, _ = F.compute_features(state["enc"], output, mode="single")
+        pickr = lambda a, b: jnp.where(
+            redo.reshape((redo.shape[0],) + (1,) * (a.ndim - 1)), a, b)
+        new_enc = jax.tree.map(pickr, enc2, enc1)
+
+        # --- FEC bookkeeping
+        fec_read = state["fec_read"]
+        fec_skip = state["fec_skip"]
+        # lost+fec consumes one frame; good frame discards one (lpcnet_plc.c
+        # :259-262); blend rewinds FEATURES_DELAY (lpcnet_plc.c:234)
+        consume = has_fec | (~lost & ~blend
+                             & (fec_read < state["fec_fill"])
+                             & (fec_skip == 0))
+        dec_skip = ~lost & ~blend & (fec_skip > 0)
+        fec_read = jnp.where(consume, fec_read + 1, fec_read)
+        fec_skip = jnp.where(dec_skip, fec_skip - 1, fec_skip)
+        fec_keep = jnp.maximum(
+            state["fec_keep"],
+            jnp.maximum(0, fec_read - cfg.lookahead - 1))
+        fec_read = jnp.where(
+            blend, jnp.maximum(fec_keep, fec_read - cfg.lookahead), fec_read)
+
+        # --- DC on concealed output (lpcnet_plc.c:330-335)
+        if self.options.remove_dc:
+            def sdc_scan(m, xx):
+                m = m + DC_CONST * (xx - m)
+                return m, m
+            sdc2, _ = jax.lax.scan(sdc_scan, syn_dc, output.T)
+            syn_dc = jnp.where(lost, sdc2, syn_dc)
+            dc_add = jnp.floor(0.5 + dc_mem)
+            output = jnp.where(lost[:, None], output + dc_add[:, None],
+                               output + lp)
+
+        new_state = dict(state)
+        new_state.update(
+            synth=new_synth, fnet=new_fnet, enc=new_enc,
+            plc_net=plc_net_out, plc_copies=new_copies,
+            loss_count=jnp.where(lost,
+                                 jnp.where(has_fec, 0, lc + 1), 0),
+            blend=lost, fec_read=fec_read, fec_skip=fec_skip,
+            fec_keep=fec_keep, dc_mem=dc_mem, syn_dc=syn_dc)
+        return new_state, output
