@@ -1,0 +1,174 @@
+"""Training-data pipeline: the dump_data(-train) equivalent + batch loader.
+
+Pipeline per utterance stream (reference src/dump_data.c:110-306):
+  1. augmentation (native C++: random biquads, gain ramps, pre-emphasis,
+     dither) + per-sample mu-law noise draws        [host, streaming]
+  2. feature extraction                             [JAX, batched]
+  3. (sig_in, sig_out) pair construction with noised-excitation feedback
+     through the LPC predictor (native C++)         [host, sequential]
+  4. chunking into training windows: 15 frames of PCM (2400 samples) with
+     19 feature frames of conv context (dataloader.py:17-70)
+
+A pure-NumPy fallback covers steps 1 and 3 when the native library is
+unavailable (slower; used in tests).
+"""
+import ctypes
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from . import features as F
+from .constants import FRAME_SIZE, LPC_ORDER, NB_TOTAL_FEATURES, \
+    TRAINING_OFFSET
+
+
+def augment(pcm: np.ndarray, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Augment one stream of samples (multiple of 160). Returns
+    (augmented float32 samples, per-sample mu-law noise int32)."""
+    from .utils import native
+    n = len(pcm) // FRAME_SIZE * FRAME_SIZE
+    # explicit copy: the native code augments in place
+    x = np.array(pcm[:n], dtype=np.float32, copy=True)
+    noise = np.zeros(n, dtype=np.int32)
+    lib = native.get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable; build native/ first")
+    st = lib.dp_augment_create(ctypes.c_uint64(seed))
+    try:
+        lib.dp_augment_frames(
+            st, x.ctypes.data_as(ctypes.c_void_p),
+            noise.ctypes.data_as(ctypes.c_void_p), n // FRAME_SIZE)
+    finally:
+        lib.dp_augment_destroy(st)
+    return x, noise
+
+
+def build_pairs(pcm: np.ndarray, lpc: np.ndarray, noise: np.ndarray
+                ) -> np.ndarray:
+    """(sig_in, sig_out) pair construction (write_audio, dump_data.c:84-108).
+    pcm: (S,) int16; lpc: (T, 16) float32; noise: (S,) int32.
+    Returns (S, 2) int16 [sig_in, sig_out]."""
+    from .utils import native
+    S = len(pcm)
+    T = S // FRAME_SIZE
+    lib = native.get_lib()
+    out = np.zeros(2 * S, dtype=np.int16)
+    if lib is not None:
+        sig_mem = np.zeros(LPC_ORDER, dtype=np.float32)
+        exc_mem = np.zeros(1, dtype=np.int32)
+        lib.dp_build_pairs(
+            np.ascontiguousarray(pcm, np.int16).ctypes.data_as(
+                ctypes.c_void_p),
+            np.ascontiguousarray(lpc, np.float32).ctypes.data_as(
+                ctypes.c_void_p),
+            np.ascontiguousarray(noise, np.int32).ctypes.data_as(
+                ctypes.c_void_p),
+            T, sig_mem.ctypes.data_as(ctypes.c_void_p),
+            exc_mem.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out.reshape(S, 2)
+    # NumPy fallback (sequential, for tests)
+    import jax.numpy as jnp
+    from .ops.mulaw import lin2ulaw, ulaw2lin
+    u2l_table = np.asarray(ulaw2lin(jnp.arange(256)))
+    sig_mem = np.zeros(LPC_ORDER, np.float32)
+    res = np.zeros((S, 2), np.int16)
+    for k in range(T):
+        A = lpc[k]
+        for i in range(FRAME_SIZE):
+            s = k * FRAME_SIZE + i
+            p = -float(A @ sig_mem)
+            e = int(np.asarray(lin2ulaw(jnp.float32(pcm[s] - p))))
+            res[s, 0] = np.int16(np.clip(np.floor(0.5 + sig_mem[0]),
+                                         -32767, 32767))
+            res[s, 1] = pcm[s]
+            e = int(np.clip(e + noise[s], 0, 255))
+            sig_mem[1:] = sig_mem[:-1]
+            sig_mem[0] = p + u2l_table[e]
+    return res
+
+
+def prepare_training_data(pcm: np.ndarray, seed: int = 0,
+                          batch_streams: int = 8):
+    """Full pipeline: raw int16 speech -> (features (T, 36), data (S, 2)).
+
+    Applies augmentation, extracts features (batched in JAX), shifts the
+    PCM by TRAINING_OFFSET so features are centered on frames
+    (dump_data.c:273-274), and builds pairs."""
+    import jax.numpy as jnp
+    x, noise = augment(pcm, seed)
+    S = len(x)
+    T = S // FRAME_SIZE // 4 * 4
+    S = T * FRAME_SIZE
+    x, noise = x[:S], noise[:S]
+    # features from the augmented + preemphasized signal: feature extraction
+    # applies its own preemphasis, so feed the pre-preemphasis inverse...
+    # dump_data computes features on the preemphasized x directly via
+    # compute_frame_features; our compute_features() includes preemphasis,
+    # so we bypass it by passing a state whose filter is disabled. Simpler:
+    # deemphasize is lossy; instead call the internal path with preemph
+    # already applied by the augmenter. We reuse compute_features with a
+    # pre-inverted filter-free path by passing the signal through a custom
+    # state: the first-order preemphasis of an already-preemphasized signal
+    # distorts features, so we spell out the internal call here.
+    state = F.init_state(1)
+    xj = jnp.asarray(x[None])
+    state, feats, _ = _features_of_preemphasized(state, xj)
+    feats = np.asarray(feats[0])
+    # PCM delayed by TRAINING_OFFSET (dump_data.c:273-274)
+    pcm_del = np.zeros(S, np.float32)
+    pcm_del[TRAINING_OFFSET:] = x[:S - TRAINING_OFFSET]
+    pcm16 = np.clip(np.floor(0.5 + pcm_del), -32767, 32767).astype(np.int16)
+    data = build_pairs(pcm16, feats[:, 18 + 2:18 + 2 + LPC_ORDER]
+                       .astype(np.float32), noise)
+    return feats, data
+
+
+def _features_of_preemphasized(state, pcm):
+    """Feature extraction for a signal that is ALREADY pre-emphasized (the
+    augmenter applies pre-emphasis like dump_data.c:271, but
+    compute_features applies its own). De-emphasize first; pre-emphasis and
+    de-emphasis are exact float32 inverses to ~1e-3."""
+    import jax.numpy as jnp
+
+    from .ops import dsp
+    z, _ = dsp.deemphasis_scan(pcm, jnp.zeros(pcm.shape[0]))
+    return F.compute_features(state, z)
+
+
+def window_batches(features: np.ndarray, data: np.ndarray,
+                   batch_size: int = 128, frames_per_chunk: int = 15,
+                   lookahead: int = 2, rng: Optional[np.random.RandomState]
+                   = None) -> Iterator[Dict[str, np.ndarray]]:
+    """Chunk into training windows (train_lpcnet.py:262-292 +
+    dataloader.py:17-70): 15 output frames / 2400 samples per chunk with 4
+    extra feature frames of conv context; LPC targets shifted by lookahead.
+    Yields dict batches for training.lpcnet_task.forward."""
+    T = features.shape[0]
+    S = data.shape[0]
+    ctx = frames_per_chunk + 4
+    nch = min((T - 4) // frames_per_chunk, S // (frames_per_chunk
+                                                 * FRAME_SIZE))
+    rng = rng or np.random.RandomState(0)
+    chunks = []
+    for c in range(nch):
+        f0 = c * frames_per_chunk
+        if f0 + ctx > T:
+            break
+        s0 = c * frames_per_chunk * FRAME_SIZE
+        s1 = s0 + frames_per_chunk * FRAME_SIZE
+        feats = features[f0:f0 + ctx]
+        lpc0 = 4 - lookahead + f0
+        lpc = features[lpc0:lpc0 + frames_per_chunk, 18 + 2:18 + 2 + 16]
+        chunks.append({
+            "sig_in": data[s0:s1, 0].astype(np.float32),
+            "sig_out": data[s0:s1, 1].astype(np.float32),
+            "features": feats[:, :20].astype(np.float32),
+            "periods": np.clip(np.floor(
+                0.1 + 50.0 * feats[:, 18] + 100.0), 33, 255).astype(np.int32),
+            "lpc": lpc.astype(np.float32),
+        })
+    order = rng.permutation(len(chunks))
+    for b0 in range(0, len(chunks) - batch_size + 1, batch_size):
+        sel = order[b0:b0 + batch_size]
+        yield {k: np.stack([chunks[i][k] for i in sel]) for k in chunks[0]}

@@ -1,0 +1,153 @@
+"""Tests: weight blob I/O, checkpoints, sparse expansion, data pipeline,
+sparsification schedules."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpcnet_tpu import data as D
+from lpcnet_tpu.models import lpcnet as lm
+from lpcnet_tpu.training import sparsify
+from lpcnet_tpu.utils import native, weights_io
+
+
+class TestBlobIO:
+    def test_write_read_roundtrip(self):
+        rs = np.random.RandomState(0)
+        arrays = {
+            "weights_f": rs.randn(100).astype(np.float32),
+            "idx_i": rs.randint(-5, 5, 33).astype(np.int32),
+            "q_w": rs.randint(-127, 127, 65).astype(np.int8),
+        }
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "w.bin")
+            weights_io.write_blob(p, arrays)
+            back = weights_io.read_blob(p)
+        assert set(back) == set(arrays)
+        for k in arrays:
+            np.testing.assert_array_equal(back[k], arrays[k])
+            assert back[k].dtype == arrays[k].dtype
+
+    def test_native_lib_available(self):
+        assert native.get_lib() is not None
+
+    def test_corrupt_blob_rejected(self):
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "bad.bin")
+            with open(p, "wb") as f:
+                f.write(b"XXXX" + b"\x00" * 200)
+            with pytest.raises(ValueError):
+                weights_io.read_blob(p)
+
+    def test_param_checkpoint_roundtrip(self):
+        cfg = lm.LPCNetConfig(gru_a_units=32, gru_b_units=16, cond_size=16,
+                              embed_sig_size=16, embed_pitch_size=8)
+        params = lm.init_params(jax.random.PRNGKey(0), cfg)
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "ckpt.bin")
+            weights_io.save_params(p, jax.tree.map(np.asarray, params))
+            back = weights_io.load_params(p)
+        flat_a = weights_io._flatten(jax.tree.map(np.asarray, params))
+        flat_b = weights_io._flatten(back)
+        assert set(flat_a) == set(flat_b)
+        for k in flat_a:
+            np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+    def test_sparse_to_dense(self):
+        # band 0: blocks at cols 0 and 4; band 1: one block at col 8
+        idx = np.array([2, 0, 4, 1, 8], np.int32)
+        w = np.arange(3 * 32, dtype=np.float32)
+        dense = weights_io.sparse_to_dense(idx, w, rows=16, cols=12)
+        assert dense.shape == (16, 12)
+        np.testing.assert_array_equal(dense[0, :4], [0, 1, 2, 3])
+        np.testing.assert_array_equal(dense[1, :4], [4, 5, 6, 7])
+        np.testing.assert_array_equal(dense[0, 4:8], [32, 33, 34, 35])
+        np.testing.assert_array_equal(dense[8, 8:12], [64, 65, 66, 67])
+        assert dense[8, :8].sum() == 0
+
+
+class TestDataPipeline:
+    def test_augment_deterministic(self):
+        pcm = (np.sin(np.arange(3200) * 0.05) * 8000).astype(np.float32)
+        x1, n1 = D.augment(pcm, seed=7)
+        x2, n2 = D.augment(pcm, seed=7)
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(n1, n2)
+        x3, _ = D.augment(pcm, seed=8)
+        assert not np.array_equal(x1, x3)
+
+    def test_build_pairs_native_matches_numpy(self):
+        rs = np.random.RandomState(1)
+        T = 2
+        pcm = (rs.randn(T * 160) * 2000).astype(np.int16)
+        lpc = (rs.randn(T, 16) * 0.1).astype(np.float32)
+        noise = rs.randint(-2, 3, T * 160).astype(np.int32)
+        nat = D.build_pairs(pcm, lpc, noise)
+        # force numpy fallback
+        lib = native._lib
+        native._lib = None
+        native._tried = True
+        try:
+            ref = D.build_pairs(pcm, lpc, noise)
+        finally:
+            native._lib = lib
+            native._tried = True
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_prepare_and_window(self):
+        rs = np.random.RandomState(2)
+        pcm = (np.sin(np.arange(160 * 48) * 0.03) * 6000
+               + rs.randn(160 * 48) * 100).astype(np.float32)
+        feats, data = D.prepare_training_data(pcm, seed=3)
+        assert feats.shape[1] == 36
+        assert data.shape[1] == 2
+        batches = list(D.window_batches(feats, data, batch_size=2,
+                                        frames_per_chunk=5))
+        assert batches, "no batches produced"
+        b = batches[0]
+        assert b["sig_in"].shape == (2, 5 * 160)
+        assert b["features"].shape == (2, 9, 20)
+        assert b["lpc"].shape == (2, 5, 16)
+        assert (b["periods"] >= 33).all() and (b["periods"] <= 255).all()
+
+
+class TestSparsify:
+    def test_density_reached(self):
+        rs = np.random.RandomState(3)
+        wr = jnp.asarray(rs.randn(64, 192).astype(np.float32))
+        cfg = sparsify.SparsifyConfig(t_start=0, t_end=10, interval=1,
+                                      density=(0.1, 0.1, 0.3))
+        out = sparsify.sparsify_gru_a(wr, jnp.int32(100), cfg)
+        out = np.asarray(out)
+        for k, d in enumerate((0.1, 0.1, 0.3)):
+            gate = out[:, k * 64:(k + 1) * 64]
+            density = (gate != 0).mean()
+            # diagonal always kept, so slightly above target
+            assert density <= d + 0.03, (k, density)
+
+    def test_diagonal_kept(self):
+        rs = np.random.RandomState(4)
+        wr = jnp.asarray(rs.randn(64, 192).astype(np.float32))
+        cfg = sparsify.SparsifyConfig(t_start=0, t_end=10, interval=1,
+                                      density=(0.05, 0.05, 0.05))
+        out = np.asarray(sparsify.sparsify_gru_a(wr, jnp.int32(100), cfg))
+        for k in range(3):
+            gate = out[:, k * 64:(k + 1) * 64]
+            assert (np.abs(np.diag(gate)) > 0).all()
+
+    def test_quantize_snaps_to_grid(self):
+        rs = np.random.RandomState(5)
+        w = jnp.asarray(rs.randn(32, 32).astype(np.float32) * 0.3)
+        q = sparsify.progressive_quantize(w, jnp.int32(100), 0, 10)
+        q = np.asarray(q)
+        np.testing.assert_allclose(q, np.round(q * 128) / 128, atol=1e-7)
+
+    def test_inactive_between_intervals(self):
+        rs = np.random.RandomState(6)
+        wr = jnp.asarray(rs.randn(64, 192).astype(np.float32))
+        cfg = sparsify.SparsifyConfig(t_start=100, t_end=1000, interval=50)
+        out = sparsify.sparsify_gru_a(wr, jnp.int32(123), cfg)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(wr))
