@@ -24,10 +24,11 @@ def main():
     from lpcnet_tpu.vocoder import Synthesizer
 
     batch = int(os.environ.get("LPCNET_BENCH_BATCH", "256"))
-    frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "100"))  # 1 s audio
+    frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
     iters = int(os.environ.get("LPCNET_BENCH_ITERS", "5"))
+    backend = os.environ.get("LPCNET_BENCH_BACKEND", "auto")
 
-    voc = Synthesizer(lpcnet.LPCNetConfig())
+    voc = Synthesizer(lpcnet.LPCNetConfig(), backend=backend)
     state = voc.reset(batch, per_stream_rng=True)
 
     rs = np.random.RandomState(0)

@@ -1,0 +1,300 @@
+"""Fused Pallas TPU kernel for the AR sample loop.
+
+One kernel invocation synthesizes a full 10-ms frame (160 samples) for a
+batch of streams with ALL weights and states resident in VMEM: zero HBM
+traffic inside the sample loop. This is the speed-of-light structure for
+the reference's hot loop (lpcnet_synthesize_tail_impl, lpcnet.c:235-271):
+the lax.scan baseline re-stages weights from HBM every sample step, which
+is exactly the bandwidth bottleneck this kernel removes.
+
+TPU-native choices:
+  * mu-law embedding lookups and the sampling-logit table are one-hot
+    matmuls on the MXU (a (B,256)x(256,3N) product beats per-lane gathers)
+  * the binary-tree bit decisions select logits with iota==index masks (VPU)
+  * KISS99 advances as vectorized uint32 lane math
+  * states live in the kernel's loop carry; the frame's 160 iterations are
+    a fori_loop entirely inside VMEM
+
+Weights are expected in float32 (2.5 MB) - fits VMEM with room for a
+batch tile of a few hundred streams.
+"""
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import LPC_ORDER
+from ..ops.tables import SAMPLING_LOGIT_TABLE
+
+_LOG256 = np.float32(5.5451774445)
+
+
+def _lin2ulaw(x):
+    """Bit-exact mu-law (common.h:47-58) with in-kernel bitcast log2."""
+    x = x.astype(jnp.float32)
+    ax = jnp.abs(x)
+    arg = jnp.float32(1.0) + jnp.float32(255.0 / 32768.0) * ax
+    xi = jax.lax.bitcast_convert_type(arg, jnp.int32)
+    integer = (xi >> 23) - 127
+    xi = xi - (integer << 23)
+    f = jax.lax.bitcast_convert_type(xi, jnp.float32)
+    frac = f - jnp.float32(1.5)
+    poly = jnp.float32(-0.41445418) + frac * (
+        jnp.float32(0.95909232)
+        + frac * (jnp.float32(-0.33951290) + frac * jnp.float32(0.16541097)))
+    l2 = (1 + integer).astype(jnp.float32) + poly
+    s = jnp.where(x >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    u = jnp.float32(128.0) + s * (jnp.float32(128.0) * jnp.float32(0.69315)
+                                  * l2 / _LOG256)
+    u = jnp.clip(u, 0.0, 255.0)
+    return jnp.floor(jnp.float32(0.5) + u).astype(jnp.int32)
+
+
+def _ulaw2lin(u):
+    u = u.astype(jnp.float32) - 128.0
+    s = jnp.where(u >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    return s * jnp.float32(32768.0 / 255.0) * (
+        jnp.exp(jnp.abs(u) / 128.0 * _LOG256) - 1.0)
+
+
+def _onehot(idx, n, dtype=jnp.float32):
+    """(B,) int32 -> (B, n) one-hot via broadcast iota."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return (cols == idx[:, None]).astype(dtype)
+
+
+def _kiss99(rng):
+    """rng: (B, 4) uint32 -> (new rng, draw (B,)) (kiss99.c:59-81)."""
+    z, w, jsr, jcong = rng[:, 0], rng[:, 1], rng[:, 2], rng[:, 3]
+    znew = jnp.uint32(36969) * (z & jnp.uint32(0xFFFF)) + (z >> 16)
+    wnew = jnp.uint32(18000) * (w & jnp.uint32(0xFFFF)) + (w >> 16)
+    mwc = (znew << 16) + wnew
+    shr3 = jsr ^ (jsr << 13)
+    shr3 = shr3 ^ (shr3 >> 17)
+    shr3 = shr3 ^ (shr3 << 5)
+    cong = jnp.uint32(69069) * jcong + jnp.uint32(1234567)
+    out = (mwc ^ cong) + shr3
+    return jnp.stack([znew, wnew, shr3, cong], axis=1), out
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def _frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
+                  tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                  wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
+                  dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
+                  logit_tbl_ref,
+                  gru_a_in, gru_b_in, sig_in, exc_in, deemph_in, rng_in,
+                  gru_a_out, gru_b_out, sig_out, exc_out, deemph_out,
+                  rng_out, pcm_ref, *, nsamples: int, preemph: float,
+                  wdtype=jnp.float32):
+    na = gru_a_in.shape[1]
+    cond_a = cond_a_ref[:]
+    cond_b = cond_b_ref[:]
+    lpc = lpc_ref[:]
+    wr_a = wr_a_ref[:]
+    br_a = br_a_ref[:]
+    wi_b = wi_b_ref[:]
+    wr_b = wr_b_ref[:]
+    br_b = br_b_ref[:]
+    dfc_w1 = dfc_w1_ref[:]
+    dfc_w2 = dfc_w2_ref[:]
+    dfc_b = dfc_b_ref[:]
+    dfc_f = dfc_f_ref[:]
+    logit_tbl = logit_tbl_ref[:]  # (1, 256)
+
+    def gru(h, zrh, wr, br):
+        n = h.shape[1]
+        recur = jnp.dot(h, wr, preferred_element_type=jnp.float32) + br
+        z = _sigmoid(zrh[:, :n] + recur[:, :n])
+        r = _sigmoid(zrh[:, n:2 * n] + recur[:, n:2 * n])
+        hc = jnp.tanh(zrh[:, 2 * n:] + r * recur[:, 2 * n:])
+        return z * h + (1.0 - z) * hc
+
+    def body(i, carry):
+        gru_a, gru_b, last_sig, last_exc, deemph, rng = carry
+        pred = -jnp.sum(last_sig * lpc, axis=1)
+        lsu = _lin2ulaw(last_sig[:, 0])
+        pu = _lin2ulaw(pred)
+        # one-hot gathers on the MXU (weights optionally bf16: 4x MXU rate,
+        # still finer-grained than the reference's int8 deployment path)
+        zrh_a = (cond_a
+                 + jnp.dot(_onehot(lsu, 256, wdtype), tbl_sig_ref[:],
+                           preferred_element_type=jnp.float32)
+                 + jnp.dot(_onehot(pu, 256, wdtype), tbl_pred_ref[:],
+                           preferred_element_type=jnp.float32)
+                 + jnp.dot(_onehot(last_exc, 256, wdtype), tbl_exc_ref[:],
+                           preferred_element_type=jnp.float32))
+        gru_a = gru(gru_a, zrh_a, wr_a, br_a)
+        zrh_b = cond_b + jnp.dot(gru_a, wi_b,
+                                 preferred_element_type=jnp.float32)
+        gru_b = gru(gru_b, zrh_b, wr_b, br_b)
+        # dual-FC logits (B,16)x(16,256) x2 channels
+        y1 = jnp.tanh(jnp.dot(gru_b, dfc_w1,
+                              preferred_element_type=jnp.float32)
+                      + dfc_b[0:1, :])
+        y2 = jnp.tanh(jnp.dot(gru_b, dfc_w2,
+                              preferred_element_type=jnp.float32)
+                      + dfc_b[1:2, :])
+        logits = y1 * dfc_f[0:1, :] + y2 * dfc_f[1:2, :]
+        # thresholds: 2 KISS99 draws -> 8 logit-table bytes
+        rng, r1 = _kiss99(rng)
+        rng, r2 = _kiss99(rng)
+        thrs = []
+        for r in (r1, r2):
+            for k in range(4):
+                b = ((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                thrs.append(jnp.sum(_onehot(b, 256) * logit_tbl, axis=1))
+        # 8-bit tree walk with mask-selects (nnet.c:186-211)
+        val = jnp.zeros((gru_b.shape[0],), jnp.int32)
+        for b in range(8):
+            idx = val | (1 << b)
+            logit = jnp.sum(logits * _onehot(idx, 256), axis=1)
+            bit = (thrs[b] < logit).astype(jnp.int32)
+            val = (val << 1) | bit
+        exc = val
+        pcm = pred + _ulaw2lin(exc)
+        last_sig = jnp.concatenate([pcm[:, None], last_sig[:, :-1]], axis=1)
+        out = pcm + preemph * deemph
+        deemph = out
+        out = jnp.clip(out, -32767.0, 32767.0)
+        out = jnp.floor(0.5 + out)
+        pcm_ref[i, :] = out
+        return gru_a, gru_b, last_sig, exc, deemph, rng
+
+    init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
+            deemph_in[:, 0], rng_in[:])
+    gru_a, gru_b, last_sig, exc, deemph, rng = jax.lax.fori_loop(
+        0, nsamples, body, init)
+    gru_a_out[:] = gru_a
+    gru_b_out[:] = gru_b
+    sig_out[:] = last_sig
+    exc_out[:] = exc[:, None]
+    deemph_out[:] = deemph[:, None]
+    rng_out[:] = rng
+
+
+MAX_BATCH_TILE = 256  # VMEM budget: weights ~5.5 MB + per-tile activations
+
+
+def synthesize_frame_pallas(tables: Dict[str, Any],
+                            state: Dict[str, jax.Array],
+                            cond_a: jax.Array, cond_b: jax.Array,
+                            lpc: jax.Array, cfg,
+                            interpret: bool = False,
+                            table_dtype=jnp.float32):
+    """Synthesize one frame (B, 160) with the fused kernel.
+
+    cond_a: (B, 3Na), cond_b: (B, 3Nb), lpc: (B, 16). Batches above
+    MAX_BATCH_TILE run as a grid of stream tiles; the weight blocks have a
+    constant index map so they stay VMEM-resident across tiles.
+    Returns (new_state, pcm (B, 160))."""
+    B = cond_a.shape[0]
+    fs = cfg.frame_size
+    dfc = tables["dual_fc"]
+    logit_tbl = jnp.asarray(SAMPLING_LOGIT_TABLE)[None, :]
+
+    bt = min(B, MAX_BATCH_TILE)
+    assert B % bt == 0, f"batch {B} must be a multiple of {bt}"
+    if B == bt:
+        # single tile: full-array blocks, no grid pipeline copies (fastest)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [full] * 22
+        out_specs = tuple([full] * 7)
+        grid = None
+    else:
+        grid = (B // bt,)
+
+    def bspec(rows):
+        # per-stream tensor: tile the leading (batch) axis
+        return pl.BlockSpec((bt, rows), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        # weight tensor: same block for every tile
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    na, nb = cfg.gru_a_units, cfg.gru_b_units
+    if grid is not None:
+        in_specs = [
+            bspec(3 * na), bspec(3 * nb), bspec(LPC_ORDER),
+            wspec((256, 3 * na)), wspec((256, 3 * na)), wspec((256, 3 * na)),
+            wspec((na, 3 * na)), wspec((1, 3 * na)), wspec((na, 3 * nb)),
+            wspec((nb, 3 * nb)), wspec((1, 3 * nb)),
+            wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
+            wspec((2, 256)), wspec((1, 256)),
+            bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
+            bspec(4),
+        ]
+        out_specs = (
+            bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
+            bspec(4),
+            pl.BlockSpec((fs, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, na), jnp.float32),
+        jax.ShapeDtypeStruct((B, nb), jnp.float32),
+        jax.ShapeDtypeStruct((B, LPC_ORDER), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, 4), jnp.uint32),
+        jax.ShapeDtypeStruct((fs, B), jnp.float32),
+    )
+    kernel = functools.partial(_frame_kernel, nsamples=fs,
+                               preemph=cfg.preemph, wdtype=table_dtype)
+    call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
+                       out_specs=out_specs, interpret=interpret)
+    if grid is not None:
+        call_kwargs["grid"] = grid
+    outs = pl.pallas_call(
+        kernel,
+        **call_kwargs,
+    )(cond_a, cond_b, lpc,
+      tables["tbl_sig"].astype(table_dtype),
+      tables["tbl_pred"].astype(table_dtype),
+      tables["tbl_exc"].astype(table_dtype),
+      tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
+      tables["wr_b"], tables["br_b"][None, :],
+      dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"], logit_tbl,
+      state["gru_a"], state["gru_b"], state["last_sig"],
+      state["last_exc"][:, None].astype(jnp.int32),
+      state["deemph"][:, None], state["rng"])
+    gru_a, gru_b, last_sig, exc, deemph, rng, pcm = outs
+    new_state = {"gru_a": gru_a, "gru_b": gru_b, "last_sig": last_sig,
+                 "last_exc": exc[:, 0], "deemph": deemph[:, 0], "rng": rng}
+    return new_state, pcm.T
+
+
+def synthesize_frames_pallas(tables, state, conds, cfg,
+                             interpret: bool = False,
+                             table_dtype=jnp.float32):
+    """Multi-frame synthesis: lax.scan over frames, fused kernel per frame.
+    conds as in sample_scan.synthesize_frames. Returns (state, (B, T*fs))."""
+    B, T = conds["cond_a"].shape[:2]
+    fs = cfg.frame_size
+    tables = dict(tables,
+                  tbl_sig=tables["tbl_sig"].astype(table_dtype),
+                  tbl_pred=tables["tbl_pred"].astype(table_dtype),
+                  tbl_exc=tables["tbl_exc"].astype(table_dtype))
+
+    def frame_body(st, inp):
+        ca, cb, lp = inp
+        st, pcm = synthesize_frame_pallas(tables, st, ca, cb, lp, cfg,
+                                          interpret=interpret,
+                                          table_dtype=table_dtype)
+        return st, pcm
+
+    state, pcm = jax.lax.scan(
+        frame_body, state,
+        (conds["cond_a"].transpose(1, 0, 2),
+         conds["cond_b"].transpose(1, 0, 2),
+         conds["lpc"].transpose(1, 0, 2)))
+    return state, pcm.transpose(1, 0, 2).reshape(B, T * fs)

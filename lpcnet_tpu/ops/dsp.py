@@ -89,58 +89,42 @@ def levinson(ac: jax.Array):
     ac = ac.astype(jnp.float32)
     batch_shape = ac.shape[:-1]
     p = LPC_ORDER
-    lpc0 = jnp.zeros(batch_shape + (p,), jnp.float32)
-    rc0 = jnp.zeros(batch_shape + (p,), jnp.float32)
-    error0 = ac[..., 0]
-    zero_ac = error0 == 0
-    done0 = zero_ac  # never updates if ac[0]==0
+    lpc = jnp.zeros(batch_shape + (p,), jnp.float32)
+    rc = jnp.zeros(batch_shape + (p,), jnp.float32)
+    error = ac[..., 0]
+    done = error == 0  # never updates if ac[0]==0
 
-    idx = jnp.arange(p)
-
-    def body(carry, i):
-        lpc, rc, error, done = carry
-        # rr = sum_{j<i} lpc[j]*ac[i-j] + ac[i+1]
-        ac_rev = jnp.take_along_axis(
-            ac, jnp.broadcast_to((i - idx) % (p + 1), batch_shape + (p,)),
-            axis=-1)
-        mask = (idx < i).astype(jnp.float32)
-        rr = jnp.sum(lpc * ac_rev * mask, axis=-1) + ac[..., i + 1]
+    # Unrolled with static slices only (dynamic gathers in a scan were the
+    # dominant cost of the whole conditioning pipeline on TPU).
+    for i in range(p):
+        if i > 0:
+            # rr = sum_{j<i} lpc[j] * ac[i-j] + ac[i+1]
+            ac_rev = ac[..., 1:i + 1][..., ::-1]
+            rr = jnp.sum(lpc[..., :i] * ac_rev, axis=-1) + ac[..., i + 1]
+        else:
+            rr = ac[..., 1]
         safe_err = jnp.where(error == 0, jnp.float32(1.0), error)
         r = -rr / safe_err
-        # symmetric in-place update over j < (i+1)>>1
-        j = idx
-        rev = i - 1 - j
-        upd_mask = j < ((i + 1) >> 1)
-        lpc_rev = jnp.take_along_axis(lpc, jnp.broadcast_to(rev % p, batch_shape + (p,)), axis=-1)
-        new_fwd = lpc + r[..., None] * lpc_rev          # lpc[j] + r*lpc[i-1-j]
-        # scatter the mirrored update: lpc[i-1-j] = old[i-1-j] + r*old[j]
-        mirrored = lpc_rev + r[..., None] * lpc
-        lpc_i = lpc
-        lpc_i = jnp.where(jnp.broadcast_to(upd_mask, lpc.shape), new_fwd, lpc_i)
-        # place mirrored values at positions rev where upd_mask
-        scat = jnp.zeros_like(lpc)
-        scat_vals = jnp.where(jnp.broadcast_to(upd_mask, lpc.shape), mirrored, 0.0)
-        onehot = (jnp.broadcast_to(rev % p, batch_shape + (p,))[..., None]
-                  == jnp.arange(p)) & upd_mask[..., None]
-        scat = jnp.sum(jnp.where(onehot, scat_vals[..., :, None], 0.0), axis=-2)
-        covered = jnp.any(onehot, axis=-2)
-        # note j and i-1-j never collide because j < (i+1)>>1 <= i-1-j
-        lpc_i = jnp.where(covered, scat, lpc_i)
-        # set lpc[i] = r
-        lpc_i = jnp.where(idx == i, r[..., None], lpc_i)
-        rc_i = jnp.where(idx == i, r[..., None], rc)
-        err_i = error - r * r * error
-        # apply updates only where not done
+        half = (i + 1) >> 1
+        new_lpc = lpc
+        if half > 0:
+            fwd = lpc[..., :half]
+            bwd = lpc[..., i - half:i][..., ::-1]     # lpc[i-1-j]
+            new_fwd = fwd + r[..., None] * bwd
+            new_bwd = bwd + r[..., None] * fwd
+            new_lpc = new_lpc.at[..., :half].set(new_fwd)
+            # for odd i the middle element overlaps; the mirrored write wins,
+            # matching the C's write order (freq.c:111-118)
+            new_lpc = new_lpc.at[..., i - half:i].set(new_bwd[..., ::-1])
+        new_lpc = new_lpc.at[..., i].set(r)
+        new_rc = rc.at[..., i].set(r)
+        new_err = error - r * r * error
         nd = ~done
-        lpc = jnp.where(nd[..., None], lpc_i, lpc)
-        rc = jnp.where(nd[..., None], rc_i, rc)
-        error = jnp.where(nd, err_i, error)
+        lpc = jnp.where(nd[..., None], new_lpc, lpc)
+        rc = jnp.where(nd[..., None], new_rc, rc)
+        error = jnp.where(nd, new_err, error)
         # break AFTER the update when error < .001*ac[0] (freq.c:121-123)
         done = done | (error < 0.001 * ac[..., 0])
-        return (lpc, rc, error, done), None
-
-    (lpc, rc, error, _), _ = jax.lax.scan(
-        body, (lpc0, rc0, error0, done0), jnp.arange(p))
     return lpc, rc, error
 
 

@@ -24,13 +24,21 @@ from .models import lpcnet
 class Synthesizer:
     def __init__(self, cfg: Optional[lpcnet.LPCNetConfig] = None,
                  params: Optional[Dict[str, Any]] = None,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 backend: str = "auto"):
+        """backend: 'pallas' (fused VMEM-resident kernel, TPU only),
+        'scan' (portable lax.scan), or 'auto' (pallas on TPU)."""
         self.cfg = cfg or lpcnet.LPCNetConfig()
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             params = lpcnet.init_params(rng, self.cfg)
         self.params = params
         self.tables = lpcnet.precompute_sample_tables(params, self.cfg)
+        if backend == "auto":
+            backend = ("pallas"
+                       if jax.devices()[0].platform in ("tpu", "axon")
+                       else "scan")
+        self.backend = backend
         self._synth = jax.jit(self._synth_impl)
         self._synth_teacher = jax.jit(self._synth_teacher_impl)
 
@@ -47,6 +55,10 @@ class Synthesizer:
     def _synth_impl(self, state, features):
         conds = lpcnet.frame_conditions(self.params, features, self.cfg,
                                         self.tables)
+        if self.backend == "pallas":
+            from .kernels import sample_pallas
+            return sample_pallas.synthesize_frames_pallas(
+                self.tables, state, conds, self.cfg)
         return sample_scan.synthesize_frames(self.tables, state, conds,
                                              self.cfg)
 

@@ -1,0 +1,47 @@
+"""Fused Pallas sampling kernel vs the lax.scan reference (interpret mode
+on CPU; the real TPU path is exercised by bench.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpcnet_tpu.constants import NB_TOTAL_FEATURES
+from lpcnet_tpu.kernels import sample_pallas, sample_scan
+from lpcnet_tpu.models import lpcnet as lm
+from lpcnet_tpu.vocoder import Synthesizer
+
+CFG = lm.LPCNetConfig()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    voc = Synthesizer(CFG, rng=jax.random.PRNGKey(11))
+    rs = np.random.RandomState(5)
+    B, T = 4, 2
+    f = np.zeros((B, T, NB_TOTAL_FEATURES), np.float32)
+    f[..., :18] = rs.randn(B, T, 18) * 0.3
+    f[..., 18] = rs.uniform(-1, 1, (B, T))
+    f[..., 19] = rs.uniform(0, 1, (B, T))
+    conds = voc.conditions(jnp.asarray(f))
+    return voc, conds
+
+
+class TestPallasKernel:
+    def test_matches_scan(self, setup):
+        voc, conds = setup
+        B = conds["cond_a"].shape[0]
+        state = voc.reset(B, per_stream_rng=True)
+        st_scan, pcm_scan = sample_scan.synthesize_frames(
+            voc.tables, state, conds, CFG)
+        st_pal, pcm_pal = sample_pallas.synthesize_frames_pallas(
+            voc.tables, state, conds, CFG, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pcm_pal),
+                                      np.asarray(pcm_scan))
+        for k in ("gru_a", "gru_b", "last_sig"):
+            np.testing.assert_allclose(np.asarray(st_pal[k]),
+                                       np.asarray(st_scan[k]), rtol=1e-5,
+                                       atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(st_pal["last_exc"]),
+                                      np.asarray(st_scan["last_exc"]))
+        np.testing.assert_array_equal(np.asarray(st_pal["rng"]),
+                                      np.asarray(st_scan["rng"]))
