@@ -1,0 +1,788 @@
+"""Command-line tools: the TPU-native equivalents of the reference's CLIs.
+
+Reference program           -> subcommand here
+  lpcnet_demo -features        features      (src/lpcnet_demo.c:189-201)
+  lpcnet_demo -synthesis       synthesis     (src/lpcnet_demo.c:202-219)
+  lpcnet_demo -encode          encode        (src/lpcnet_demo.c:163-175)
+  lpcnet_demo -decode          decode        (src/lpcnet_demo.c:176-188)
+  lpcnet_demo -plc/-plc_file   plc           (src/lpcnet_demo.c:220-249)
+  dump_data -train/-test       dump-data     (src/dump_data.c:110-306)
+  dump_weights_blob            dump-weights-blob (src/write_lpcnet_weights.c)
+  ceps_vq_train                vq-train      (src/ceps_vq_train.c:433)
+  train_lpcnet.py              train-lpcnet  (training_tf2/train_lpcnet.py)
+  train_plc.py                 train-plc     (training_tf2/train_plc.py)
+  train_rdovae.py              train-rdovae  (training_tf2/train_rdovae.py)
+  encode_rdovae.py             rdovae-encode (training_tf2/encode_rdovae.py)
+  decode_rdovae.py             rdovae-decode (training_tf2/decode_rdovae.py)
+  fec_encoder.py               fec-encode    (training_tf2/fec_encoder.py)
+  test_plc.py                  plc-test      (training_tf2/test_plc.py)
+
+All audio is 16-bit little-endian PCM at 16 kHz (headerless, like the
+reference; .wav accepted via the stdlib reader). Feature files are float32
+frames of 36 (NB_TOTAL_FEATURES). Model weights are DNNw-blob checkpoints
+(utils/weights_io.py); omit --weights to run with seed-0 random init (for
+pipeline tests).
+"""
+import argparse
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .constants import (FRAME_SIZE, LPCNET_COMPRESSED_SIZE,
+                        LPCNET_PACKET_SAMPLES, NB_BANDS, NB_FEATURES,
+                        NB_TOTAL_FEATURES)
+
+CHUNK_FRAMES = 64          # streaming chunk for feature/synthesis tools
+
+
+# --------------------------------------------------------------------- I/O
+
+def read_pcm(path: str) -> np.ndarray:
+    """Read headerless s16le (or .wav) as float32 samples."""
+    if path.endswith(".wav"):
+        import wave
+        with wave.open(path, "rb") as w:
+            assert w.getsampwidth() == 2, "expect 16-bit wav"
+            assert w.getnchannels() == 1, "expect mono"
+            data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        return data.astype(np.float32)
+    return np.fromfile(path, np.int16).astype(np.float32)
+
+
+def write_pcm(path: str, pcm: np.ndarray) -> None:
+    np.clip(np.asarray(pcm), -32767, 32767).astype(np.int16).tofile(path)
+
+
+def read_features(path: str, width: int = NB_TOTAL_FEATURES) -> np.ndarray:
+    x = np.fromfile(path, np.float32)
+    assert x.size % width == 0, (
+        f"{path}: {x.size} floats is not a multiple of {width}")
+    return x.reshape(-1, width)
+
+
+def load_model_params(path: Optional[str], init_fn, rng_seed: int = 0):
+    """Load a params checkpoint (plain or training blob); random init if
+    path is None."""
+    import jax
+    from .utils import checkpoint, weights_io
+    if path is None:
+        return init_fn(jax.random.PRNGKey(rng_seed))
+    raw = weights_io.read_blob(path)
+    if "__train_manifest__" in raw:
+        params, _, _, _ = checkpoint.load_training(path)
+        return params
+    return weights_io.load_params(path)
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+# --------------------------------------------------------------- features
+
+def cmd_features(args) -> int:
+    """PCM -> float32 feature frames (lpcnet_demo -features)."""
+    import jax.numpy as jnp
+    from . import features as F
+    pcm = read_pcm(args.input)
+    T = len(pcm) // FRAME_SIZE // 4 * 4
+    pcm = pcm[:T * FRAME_SIZE]
+    state = F.init_state(1)
+    out = []
+    step = CHUNK_FRAMES
+    with open(args.output, "wb"):
+        pass
+    for t0 in range(0, T, step):
+        t1 = min(T, t0 + step)
+        x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+        state, feats, _ = F.compute_features(
+            state, x, quantize_pitch=args.quantize_pitch)
+        out.append(np.asarray(feats[0]))
+    allf = np.concatenate(out, axis=0).astype(np.float32)
+    allf.tofile(args.output)
+    print(f"wrote {allf.shape[0]} frames x {allf.shape[1]} -> {args.output}")
+    return 0
+
+
+# --------------------------------------------------------------- synthesis
+
+def cmd_synthesis(args) -> int:
+    """Feature frames -> PCM (lpcnet_demo -synthesis)."""
+    import jax
+    import jax.numpy as jnp
+    from .models import lpcnet
+    from .vocoder import Synthesizer
+    feats = read_features(args.input)
+    cfg = lpcnet.LPCNetConfig()
+    params = load_model_params(args.weights, lambda k:
+                               lpcnet.init_params(k, cfg))
+    voc = Synthesizer(cfg, params=params, backend=args.backend)
+    state = voc.reset(1)
+    T = feats.shape[0]
+    outs = []
+    t_synth = 0.0
+    for t0 in range(0, T, CHUNK_FRAMES):
+        f = jnp.asarray(feats[None, t0:t0 + CHUNK_FRAMES])
+        t = time.perf_counter()
+        state, pcm = voc.synthesize(state, f)
+        pcm = jax.block_until_ready(pcm)
+        t_synth += time.perf_counter() - t
+        outs.append(np.asarray(pcm[0]))
+    pcm = np.concatenate(outs)
+    write_pcm(args.output, pcm)
+    rt = (T * FRAME_SIZE / 16000.0) / max(t_synth, 1e-9)
+    print(f"wrote {len(pcm)} samples -> {args.output} "
+          f"({rt:.1f}x realtime single-stream incl. dispatch)")
+    return 0
+
+
+# ------------------------------------------------------------------ codec
+
+def _load_codebooks(path: Optional[str]):
+    import jax
+    from .codec import codec
+    from .utils import weights_io
+    if path is None:
+        return codec.default_codebooks(jax.random.PRNGKey(0))
+    return {k: _jnp().asarray(v) for k, v in
+            weights_io.load_params(path).items()}
+
+
+def cmd_encode(args) -> int:
+    """PCM -> 8-byte packets per 40 ms (lpcnet_demo -encode)."""
+    import jax.numpy as jnp
+    from . import features as F
+    from .codec import codec
+    pcm = read_pcm(args.input)
+    n_sf = len(pcm) // LPCNET_PACKET_SAMPLES
+    pcm = pcm[:n_sf * LPCNET_PACKET_SAMPLES]
+    cbs = _load_codebooks(args.codebooks)
+    state = F.init_state(1)
+    vq_mem = jnp.zeros((1, NB_BANDS))
+    bufs = []
+    group = CHUNK_FRAMES // 4
+    for g0 in range(0, n_sf, group):
+        g1 = min(n_sf, g0 + group)
+        x = jnp.asarray(pcm[None, g0 * LPCNET_PACKET_SAMPLES:
+                            g1 * LPCNET_PACKET_SAMPLES])
+        state, feats, sps = F.compute_features(state, x,
+                                               quantize_pitch=True)
+        for i, g in enumerate(range(g0, g1)):
+            buf, _, vq_mem = codec.encode_superframe(
+                cbs, feats[:, 4 * i:4 * (i + 1)], vq_mem, sps[i])
+            bufs.append(np.asarray(buf[0], np.uint8))
+    blob = np.concatenate(bufs)
+    blob.tofile(args.output)
+    print(f"wrote {n_sf} packets ({blob.size} bytes, 1.6 kb/s) "
+          f"-> {args.output}")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    """8-byte packets -> PCM (lpcnet_demo -decode = decode_packet + 4x
+    synthesize, src/lpcnet.c:310-319)."""
+    import jax.numpy as jnp
+    from .codec import codec
+    from .models import lpcnet
+    from .vocoder import Synthesizer
+    raw = np.fromfile(args.input, np.uint8)
+    n_sf = raw.size // LPCNET_COMPRESSED_SIZE
+    if n_sf == 0:
+        print(f"error: {args.input}: no complete "
+              f"{LPCNET_COMPRESSED_SIZE}-byte packets "
+              f"({raw.size} bytes)", file=sys.stderr)
+        return 1
+    if raw.size % LPCNET_COMPRESSED_SIZE:
+        print(f"warning: {args.input}: trailing "
+              f"{raw.size % LPCNET_COMPRESSED_SIZE} bytes ignored",
+              file=sys.stderr)
+    raw = raw[:n_sf * LPCNET_COMPRESSED_SIZE].reshape(
+        n_sf, LPCNET_COMPRESSED_SIZE)
+    cbs = _load_codebooks(args.codebooks)
+    cfg = lpcnet.LPCNetConfig()
+    params = load_model_params(args.weights, lambda k:
+                               lpcnet.init_params(k, cfg))
+    voc = Synthesizer(cfg, params=params, backend=args.backend)
+    state = voc.reset(1)
+    dec_mem = jnp.zeros((1, NB_BANDS))
+    outs = []
+    for p in range(n_sf):
+        feats, dec_mem = codec.decode_packet(
+            cbs, jnp.asarray(raw[None, p]), dec_mem)
+        state, pcm = voc.synthesize(state, feats)
+        outs.append(np.asarray(pcm[0]))
+    pcm = np.concatenate(outs)
+    write_pcm(args.output, pcm)
+    print(f"wrote {len(pcm)} samples -> {args.output}")
+    return 0
+
+
+# -------------------------------------------------------------------- PLC
+
+def _read_loss_flags(spec: str, n_packets: int, seed: int = 0) -> np.ndarray:
+    """Loss flags, one per 20-ms packet, 1 = lost. spec is a percentage
+    (random losses) or a trace file (lpcnet_demo.c:231-243)."""
+    try:
+        pct = float(spec)
+        rs = np.random.RandomState(seed)
+        return (rs.uniform(0, 100, n_packets) < pct).astype(np.int32)
+    except ValueError:
+        pass
+    flags = np.loadtxt(spec, dtype=np.int64).reshape(-1)
+    reps = int(np.ceil(n_packets / max(1, len(flags))))
+    return np.tile(flags, reps)[:n_packets].astype(np.int32)
+
+
+def cmd_plc(args) -> int:
+    """Concealment over a PCM stream with a loss pattern
+    (lpcnet_demo -plc_file, src/lpcnet_demo.c:220-249)."""
+    import jax.numpy as jnp
+    from .models import lpcnet, plc as plc_model
+    from .plc import PLCEngine, PLCOptions
+    pcm = read_pcm(args.input)
+    n_fr = len(pcm) // FRAME_SIZE // 2 * 2
+    pcm = pcm[:n_fr * FRAME_SIZE]
+    flags = _read_loss_flags(args.loss, n_fr // 2, args.seed)
+    cfg = lpcnet.LPCNetConfig()
+    lp = load_model_params(args.weights, lambda k:
+                           lpcnet.init_params(k, cfg))
+    pp = load_model_params(args.plc_weights, plc_model.init_params,
+                           rng_seed=1)
+    engine = PLCEngine(lp, pp, cfg,
+                       options=PLCOptions(remove_dc="dc" in args.options))
+    state = engine.init_state(1)
+    outs = []
+    for f in range(n_fr):
+        lost = jnp.asarray([bool(flags[f // 2])])
+        fr = jnp.asarray(pcm[None, f * FRAME_SIZE:(f + 1) * FRAME_SIZE])
+        state, out = engine.step(state, fr, lost)
+        outs.append(np.asarray(out[0]))
+    write_pcm(args.output, np.concatenate(outs))
+    print(f"processed {n_fr} frames, {int(flags.sum())} lost packets "
+          f"-> {args.output}")
+    return 0
+
+
+def cmd_plc_test(args) -> int:
+    """Offline PLC-network test: feature file with a loss column ->
+    reconstructed features, out = feat + (1-lost)*pred
+    (training_tf2/test_plc.py:110-119)."""
+    import jax.numpy as jnp
+    from .models import plc as plc_model
+    width = 2 * NB_BANDS + NB_FEATURES + 1     # burg36 + feat20 + lost
+    data = read_features(args.input, width)
+    pp = load_model_params(args.weights, plc_model.init_params, rng_seed=1)
+    cfg = plc_model.PLCConfig()
+    lost = data[:, -1:]
+    inp = jnp.asarray(np.concatenate(
+        [data[:, :-1] * (1 - lost), 1 - lost], axis=-1)[None])
+    pred = np.asarray(plc_model.forward_sequence(pp, inp, cfg)[0])
+    feat = data[:, 2 * NB_BANDS:-1]
+    out = feat * (1 - lost) + pred * lost
+    out.astype(np.float32).tofile(args.output)
+    print(f"wrote {out.shape[0]} reconstructed frames -> {args.output}")
+    return 0
+
+
+# -------------------------------------------------------------- dump-data
+
+def cmd_dump_data(args) -> int:
+    """Training/test data prep (src/dump_data.c:110-306). --train applies
+    augmentation + builds (sig_in, sig_out) pairs; --test extracts clean
+    features only."""
+    from . import data as D
+    pcm = read_pcm(args.input)
+    if args.mode == "test":
+        import jax.numpy as jnp
+        from . import features as F
+        T = len(pcm) // FRAME_SIZE // 4 * 4
+        state = F.init_state(1)
+        outs = []
+        for t0 in range(0, T, CHUNK_FRAMES):
+            t1 = min(T, t0 + CHUNK_FRAMES)
+            x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+            state, feats, _ = F.compute_features(state, x)
+            outs.append(np.asarray(feats[0]))
+        np.concatenate(outs).astype(np.float32).tofile(args.features)
+        print(f"wrote {T} feature frames -> {args.features}")
+        return 0
+    assert args.data, "--train needs an output data.s16 path"
+    feats_all, data_all = [], []
+    total = len(pcm)
+    # multiple passes with different augmentation filters
+    # (dump_data.c:245-257, README.md:110)
+    for p in range(args.passes):
+        feats, data = D.prepare_training_data(pcm, seed=args.seed + p)
+        feats_all.append(feats)
+        data_all.append(data)
+    np.concatenate(feats_all).astype(np.float32).tofile(args.features)
+    np.concatenate(data_all).astype(np.int16).tofile(args.data)
+    print(f"wrote {sum(f.shape[0] for f in feats_all)} frames "
+          f"({args.passes} passes) -> {args.features}, {args.data}")
+    return 0
+
+
+# ------------------------------------------------------------- weight blob
+
+def cmd_dump_weights_blob(args) -> int:
+    """Bundle model checkpoints into one DNNw blob, one family prefix each
+    (dump_weights_blob, src/write_lpcnet_weights.c:69-77)."""
+    from .utils import weights_io
+    arrays: Dict[str, np.ndarray] = {}
+    for spec in args.models:
+        prefix, path = spec.split("=", 1)
+        params = load_model_params(path, None)
+        flat = weights_io._flatten(params, prefix + "/")
+        for i, (name, a) in enumerate(sorted(flat.items())):
+            arrays[f"{prefix[:1]}{i:04d}"] = (
+                a.astype(np.float32) if a.dtype == np.float64 else a)
+    weights_io.write_blob(args.output, arrays)
+    print(f"wrote {len(arrays)} arrays -> {args.output}")
+    return 0
+
+
+# --------------------------------------------------------------- vq-train
+
+def cmd_vq_train(args) -> int:
+    """Train codec codebooks from a feature file
+    (src/ceps_vq_train.c:433-619 equivalent, on-TPU k-means)."""
+    import jax
+    from .codec import vq_train
+    from .utils import weights_io
+    feats = read_features(args.input)
+    cbs = vq_train.train_codec_codebooks(
+        jax.random.PRNGKey(args.seed), _jnp().asarray(feats),
+        iters=args.iters)
+    weights_io.save_params(args.output,
+                           {k: np.asarray(v) for k, v in cbs.items()})
+    print(f"trained codebooks on {feats.shape[0]} frames -> {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------- training
+
+def _train_common(sub):
+    sub.add_argument("--epochs", type=int, default=4)
+    sub.add_argument("--batch-size", type=int, default=32)
+    sub.add_argument("--lr", type=float, default=1e-3)
+    sub.add_argument("--seed", type=int, default=0)
+    sub.add_argument("--resume", default=None,
+                     help="checkpoint to resume from (params+opt+step)")
+    sub.add_argument("--steps-per-epoch", type=int, default=0,
+                     help="cap steps per epoch (0 = all data)")
+
+
+def _ckpt_path(outdir: str, epoch: int) -> str:
+    os.makedirs(outdir, exist_ok=True)
+    return os.path.join(outdir, f"ckpt_{epoch:03d}.bin")
+
+
+def cmd_train_lpcnet(args) -> int:
+    """LPCNet trainer (training_tf2/train_lpcnet.py): teacher-forced CE,
+    sparsify/quantize schedules, per-epoch checkpoints, resume."""
+    import jax
+    import jax.numpy as jnp
+    from . import data as D
+    from .models import lpcnet
+    from .training import lpcnet_task, sparsify
+    from .utils import checkpoint
+
+    feats = read_features(args.features)
+    raw = np.fromfile(args.data, np.int16)
+    data = raw.reshape(-1, 2)
+    cfg = lpcnet.LPCNetConfig(e2e=args.e2e, lpc_gamma=args.gamma)
+    opt = lpcnet_task.make_optimizer(lr=args.lr, decay=args.decay)
+    if args.resume:
+        tpl = opt.init(lpcnet.init_params(jax.random.PRNGKey(0), cfg))
+        params, opt_state, step, _ = checkpoint.load_training(
+            args.resume, tpl)
+    elif args.retrain:
+        params = load_model_params(args.retrain, None)
+        opt_state, step = opt.init(params), 0
+    else:
+        params = lpcnet.init_params(jax.random.PRNGKey(args.seed), cfg)
+        opt_state, step = opt.init(params), 0
+    # schedules: from-scratch vs quantize-finetune (train_lpcnet.py:303-317)
+    if args.quantize:
+        scfg = sparsify.SparsifyConfig(t_start=10000, t_end=30000,
+                                       interval=100, quantize=True,
+                                       density=tuple(args.density),
+                                       grub_density=tuple(args.grub_density))
+    else:
+        scfg = sparsify.SparsifyConfig(t_start=2000, t_end=40000,
+                                       interval=400,
+                                       density=tuple(args.density),
+                                       grub_density=tuple(args.grub_density))
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        n, tot = 0, 0.0
+        for batch in D.window_batches(
+                feats, data, batch_size=args.batch_size,
+                rng=np.random.RandomState(args.seed + epoch)):
+            rng, k = jax.random.split(rng)
+            jb = {kk: jnp.asarray(v) for kk, v in batch.items()}
+            params, opt_state, metrics = lpcnet_task.train_step(
+                params, opt_state, jb, k, cfg, opt)
+            params = sparsify.apply(params, jnp.int32(step), scfg,
+                                    cfg.gru_a_units)
+            step += 1
+            n += 1
+            tot += float(metrics["loss"])
+            if args.steps_per_epoch and n >= args.steps_per_epoch:
+                break
+        ck = _ckpt_path(args.outdir, epoch)
+        checkpoint.save_training(ck, params, opt_state, step,
+                                 {"epoch": epoch, "cfg": "lpcnet"})
+        print(f"epoch {epoch}: {n} steps, loss {tot / max(1, n):.4f}, "
+              f"{time.perf_counter() - t0:.1f}s -> {ck}")
+    return 0
+
+
+def cmd_train_plc(args) -> int:
+    """PLC trainer (training_tf2/train_plc.py): masked L1 losses over
+    simulated loss traces."""
+    import jax
+    import jax.numpy as jnp
+    from .models import plc as plc_model
+    from .training import plc_task
+    from .utils import checkpoint
+
+    width = 2 * NB_BANDS + NB_FEATURES
+    feats = read_features(args.features, width)
+    if args.loss_traces:
+        traces = np.loadtxt(args.loss_traces, dtype=np.int64).reshape(-1)
+    else:
+        traces = (np.random.RandomState(args.seed)
+                  .uniform(size=200000) > 0.2).astype(np.int64)
+    cfg = plc_model.PLCConfig()
+    opt = plc_task.make_optimizer(lr=args.lr)
+    if args.resume:
+        tpl = opt.init(plc_model.init_params(jax.random.PRNGKey(0), cfg))
+        params, opt_state, step, _ = checkpoint.load_training(
+            args.resume, tpl)
+    else:
+        params = plc_model.init_params(jax.random.PRNGKey(args.seed), cfg)
+        opt_state, step = opt.init(params), 0
+    T = args.seq_len
+    nseq = feats.shape[0] // T
+    feats = feats[:nseq * T].reshape(nseq, T, width)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        order = np.random.RandomState(args.seed + epoch).permutation(nseq)
+        n, tot = 0, 0.0
+        for b0 in range(0, nseq - args.batch_size + 1, args.batch_size):
+            sel = order[b0:b0 + args.batch_size]
+            rng, k1, k2 = jax.random.split(rng, 3)
+            # loss simulation from traces with random offset
+            # (plc_loader.py:56-75)
+            off = np.random.RandomState(step).randint(
+                0, max(1, len(traces) - T), size=len(sel))
+            lost = np.stack([traces[o:o + T] for o in off])
+            batch = plc_task.make_batch(
+                k1, jnp.asarray(feats[sel]), jnp.asarray(lost))
+            params, opt_state, metrics = plc_task.train_step(
+                params, opt_state, batch, cfg, opt)
+            step += 1
+            n += 1
+            tot += float(metrics["loss"])
+            if args.steps_per_epoch and n >= args.steps_per_epoch:
+                break
+        ck = _ckpt_path(args.outdir, epoch)
+        checkpoint.save_training(ck, params, opt_state, step,
+                                 {"epoch": epoch, "cfg": "plc"})
+        print(f"epoch {epoch}: {n} steps, loss {tot / max(1, n):.4f} "
+              f"-> {ck}")
+    return 0
+
+
+def cmd_train_rdovae(args) -> int:
+    """RDO-VAE trainer (training_tf2/train_rdovae.py): lambda-conditioned
+    rate-distortion training."""
+    import jax
+    import jax.numpy as jnp
+    from .models import rdovae as rv
+    from .training import rdovae_task
+    from .utils import checkpoint
+
+    feats = read_features(args.features)[:, :NB_FEATURES]
+    cfg = rv.RDOVAEConfig()
+    opt = rdovae_task.make_optimizer(lr=args.lr)
+    if args.resume:
+        tpl = opt.init(rv.init_params(jax.random.PRNGKey(0), cfg))
+        params, opt_state, step, _ = checkpoint.load_training(
+            args.resume, tpl)
+    else:
+        params = rv.init_params(jax.random.PRNGKey(args.seed), cfg)
+        opt_state, step = opt.init(params), 0
+    T = args.seq_len
+    nseq = feats.shape[0] // T
+    feats = feats[:nseq * T].reshape(nseq, T, NB_FEATURES)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        order = np.random.RandomState(args.seed + epoch).permutation(nseq)
+        n, tot = 0, 0.0
+        for b0 in range(0, nseq - args.batch_size + 1, args.batch_size):
+            sel = order[b0:b0 + args.batch_size]
+            rng, k1, k2 = jax.random.split(rng, 3)
+            qid, lam = rdovae_task.sample_lambda(k1, len(sel), T // 2)
+            params, opt_state, metrics = rdovae_task.train_step(
+                params, opt_state, jnp.asarray(feats[sel]), qid, lam, k2,
+                cfg, opt)
+            step += 1
+            n += 1
+            tot += float(metrics["loss"])
+            if args.steps_per_epoch and n >= args.steps_per_epoch:
+                break
+        ck = _ckpt_path(args.outdir, epoch)
+        checkpoint.save_training(ck, params, opt_state, step,
+                                 {"epoch": epoch, "cfg": "rdovae"})
+        print(f"epoch {epoch}: {n} steps, loss {tot / max(1, n):.4f} "
+              f"-> {ck}")
+    return 0
+
+
+# ------------------------------------------------------------ DRED tools
+
+def cmd_rdovae_encode(args) -> int:
+    """Features -> quantized latents file (encode_rdovae.py equivalent).
+    Output: int16 symbols (S, 80) + float32 states (S, 24) side file."""
+    import jax
+    from .dred import DREDCodec
+    from .models import rdovae as rv
+    feats = read_features(args.input)[:, :NB_FEATURES]
+    T = feats.shape[0] // 4 * 4
+    params = load_model_params(args.weights, rv.init_params, rng_seed=2)
+    dc = DREDCodec(params)
+    jnp = _jnp()
+    zd, sd = dc.encode(jnp.asarray(feats[None, :T]))
+    qp = rv.quant_params(params, jnp.full((zd.shape[1],), args.quant,
+                                          jnp.int32), dc.cfg)
+    ze = zd[0] * qp["scale"]
+    sym = np.asarray(jnp.round(rv.apply_dead_zone(ze, qp["dead_zone"])),
+                     np.int16)
+    sym.tofile(args.output)
+    np.asarray(sd[0], np.float32).tofile(args.output + ".state")
+    print(f"wrote {sym.shape[0]} latent dframes -> {args.output}")
+    return 0
+
+
+def cmd_rdovae_decode(args) -> int:
+    """Quantized latents -> features file (decode_rdovae.py equivalent)."""
+    from .dred import DREDCodec
+    from .models import rdovae as rv
+    jnp = _jnp()
+    sym = np.fromfile(args.input, np.int16).reshape(-1, 80)
+    states = np.fromfile(args.input + ".state", np.float32).reshape(-1, 24)
+    params = load_model_params(args.weights, rv.init_params, rng_seed=2)
+    dc = DREDCodec(params)
+    qid = jnp.full((sym.shape[0],), args.quant, jnp.int32)
+    qp = rv.quant_params(params, qid, dc.cfg)
+    z = jnp.asarray(sym, jnp.float32) / qp["scale"]
+    feats = rv.decode(params, z[None], jnp.asarray(states[None, 0]), dc.cfg)
+    out = np.zeros((feats.shape[1], NB_TOTAL_FEATURES), np.float32)
+    out[:, :NB_FEATURES] = np.asarray(feats[0])
+    out.tofile(args.output)
+    print(f"wrote {out.shape[0]} feature frames -> {args.output}")
+    return 0
+
+
+def cmd_fec_encode(args) -> int:
+    """End-to-end DRED FEC pipeline: audio -> features -> latents ->
+    age-ramped quantized redundancy packets -> .fec file
+    (training_tf2/fec_encoder.py)."""
+    import jax
+    from . import features as F
+    from .dred import DREDCodec, DREDConfig, quant_id_ramp
+    from .models import rdovae as rv
+    from .utils import fec_packets
+    jnp = _jnp()
+    pcm = read_pcm(args.input)
+    T = len(pcm) // FRAME_SIZE // 4 * 4
+    state = F.init_state(1)
+    outs = []
+    for t0 in range(0, T, CHUNK_FRAMES):
+        t1 = min(T, t0 + CHUNK_FRAMES)
+        x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+        state, feats, _ = F.compute_features(state, x)
+        outs.append(np.asarray(feats[0]))
+    feats = np.concatenate(outs)[:, :NB_FEATURES]
+    params = load_model_params(args.weights, rv.init_params, rng_seed=2)
+    dcfg = DREDConfig(num_dframes=args.num_redundancy)
+    dc = DREDCodec(params, dred_cfg=dcfg)
+    zd, sd = dc.encode(jnp.asarray(feats[None]))
+    S = zd.shape[1]
+    packets, rates = [], []
+    for s in range(dcfg.num_dframes, S + 1, args.packets_per_fec):
+        sym, qid = dc.quantize_payload(zd[:, :s])
+        state0 = sd[:, s - dcfg.num_dframes]
+        rec = dc.decode(sym, qid, state0)           # (1, n*4, 20)
+        fr = np.zeros((rec.shape[1], NB_TOTAL_FEATURES), np.float32)
+        fr[:, :NB_FEATURES] = np.asarray(rec[0])
+        rate = float(np.abs(np.asarray(sym)).sum())  # proxy bits
+        packets.append(fr)
+        rates.append(int(min(32767, rate)))
+    fec_packets.write_fec_packets(args.output, packets, rates)
+    print(f"wrote {len(packets)} FEC packets "
+          f"({dcfg.num_dframes} dframes each) -> {args.output}")
+    return 0
+
+
+# ------------------------------------------------------------------ main
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lpcnet_tpu",
+        description="TPU-native LPCNet framework tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("features", help="PCM -> feature frames")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--quantize-pitch", action="store_true")
+    s.set_defaults(fn=cmd_features)
+
+    s = sub.add_parser("synthesis", help="feature frames -> PCM")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--weights", default=None)
+    s.add_argument("--backend", default="auto",
+                   choices=["auto", "scan", "pallas"])
+    s.set_defaults(fn=cmd_synthesis)
+
+    s = sub.add_parser("encode", help="PCM -> 1.6 kb/s packets")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--codebooks", default=None)
+    s.set_defaults(fn=cmd_encode)
+
+    s = sub.add_parser("decode", help="1.6 kb/s packets -> PCM")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--codebooks", default=None)
+    s.add_argument("--weights", default=None)
+    s.add_argument("--backend", default="auto",
+                   choices=["auto", "scan", "pallas"])
+    s.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("plc", help="conceal lost packets in a PCM stream")
+    s.add_argument("loss", help="loss percentage or trace file "
+                                "(one 0/1 per 20-ms packet, 1 = lost)")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--options", default="causal",
+                   help="causal | causal_dc")
+    s.add_argument("--weights", default=None)
+    s.add_argument("--plc-weights", default=None)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_plc)
+
+    s = sub.add_parser("plc-test", help="offline PLC net feature test")
+    s.add_argument("input", help="f32 frames [burg36|feat20|lost]")
+    s.add_argument("output")
+    s.add_argument("--weights", default=None)
+    s.set_defaults(fn=cmd_plc_test)
+
+    s = sub.add_parser("dump-data", help="training/test data prep")
+    s.add_argument("mode", choices=["train", "test"])
+    s.add_argument("input")
+    s.add_argument("features")
+    s.add_argument("data", nargs="?", default=None)
+    s.add_argument("--passes", type=int, default=1)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_dump_data)
+
+    s = sub.add_parser("dump-weights-blob",
+                       help="bundle checkpoints into one DNNw blob")
+    s.add_argument("output")
+    s.add_argument("models", nargs="+",
+                   help="prefix=checkpoint.bin (e.g. lpcnet=ck.bin)")
+    s.set_defaults(fn=cmd_dump_weights_blob)
+
+    s = sub.add_parser("vq-train", help="train codec VQ codebooks")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--iters", type=int, default=12)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_vq_train)
+
+    s = sub.add_parser("train-lpcnet", help="train the vocoder")
+    s.add_argument("features")
+    s.add_argument("data")
+    s.add_argument("outdir")
+    _train_common(s)
+    s.add_argument("--decay", type=float, default=5e-5)
+    s.add_argument("--e2e", action="store_true")
+    s.add_argument("--gamma", type=float, default=1.0)
+    s.add_argument("--quantize", action="store_true",
+                   help="int8 quantize-finetune schedule")
+    s.add_argument("--retrain", default=None,
+                   help="params checkpoint to warm-start from")
+    s.add_argument("--density", type=float, nargs=3,
+                   default=[0.05, 0.05, 0.2])
+    s.add_argument("--grub-density", type=float, nargs=3,
+                   default=[1.0, 1.0, 1.0])
+    s.set_defaults(fn=cmd_train_lpcnet)
+
+    s = sub.add_parser("train-plc", help="train the PLC predictor")
+    s.add_argument("features", help="f32 frames [burg36|feat20]")
+    s.add_argument("outdir")
+    _train_common(s)
+    s.add_argument("--loss-traces", default=None,
+                   help="text file of 0/1 flags (1 = received)")
+    s.add_argument("--seq-len", type=int, default=1000)
+    s.set_defaults(fn=cmd_train_plc)
+
+    s = sub.add_parser("train-rdovae", help="train the DRED RDO-VAE")
+    s.add_argument("features")
+    s.add_argument("outdir")
+    _train_common(s)
+    s.add_argument("--seq-len", type=int, default=400)
+    s.set_defaults(fn=cmd_train_rdovae)
+
+    s = sub.add_parser("rdovae-encode", help="features -> latents")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--weights", default=None)
+    s.add_argument("--quant", type=int, default=15)
+    s.set_defaults(fn=cmd_rdovae_encode)
+
+    s = sub.add_parser("rdovae-decode", help="latents -> features")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--weights", default=None)
+    s.add_argument("--quant", type=int, default=15)
+    s.set_defaults(fn=cmd_rdovae_decode)
+
+    s = sub.add_parser("fec-encode", help="audio -> DRED .fec redundancy")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--weights", default=None)
+    s.add_argument("--num-redundancy", type=int, default=16)
+    s.add_argument("--packets-per-fec", type=int, default=1)
+    s.set_defaults(fn=cmd_fec_encode)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, IsADirectoryError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except (AssertionError, ValueError) as e:
+        if os.environ.get("LPCNET_CLI_DEBUG"):
+            raise
+        print(f"error: {e} (set LPCNET_CLI_DEBUG=1 for a traceback)",
+              file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -273,6 +273,15 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
     return new_state, pcm.T
 
 
+def _pad_batch(tree, B: int, Bp: int):
+    """Zero-pad every leaf's leading (stream) axis from B to Bp."""
+    if B == Bp:
+        return tree
+    return jax.tree.map(
+        lambda x: jnp.concatenate(
+            [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], axis=0), tree)
+
+
 def synthesize_frames_pallas(tables, state, conds, cfg,
                              interpret: bool = False,
                              table_dtype=jnp.float32):
@@ -280,6 +289,18 @@ def synthesize_frames_pallas(tables, state, conds, cfg,
     conds as in sample_scan.synthesize_frames. Returns (state, (B, T*fs))."""
     B, T = conds["cond_a"].shape[:2]
     fs = cfg.frame_size
+    # Mosaic layout inference rejects single-stream (B=1) vectors, and the
+    # grid path needs B to divide evenly into tiles: pad the stream axis to
+    # a multiple of 8 (one sublane) and slice the padding back off.
+    Bp = max(8, -(-B // 8) * 8) if B <= MAX_BATCH_TILE \
+        else -(-B // MAX_BATCH_TILE) * MAX_BATCH_TILE
+    if Bp != B:
+        state = _pad_batch(state, B, Bp)
+        conds = _pad_batch(conds, B, Bp)
+        new_state, pcm = synthesize_frames_pallas(
+            tables, state, conds, cfg, interpret=interpret,
+            table_dtype=table_dtype)
+        return (jax.tree.map(lambda x: x[:B], new_state), pcm[:B])
     tables = dict(tables,
                   tbl_sig=tables["tbl_sig"].astype(table_dtype),
                   tbl_pred=tables["tbl_pred"].astype(table_dtype),

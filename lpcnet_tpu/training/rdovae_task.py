@@ -34,7 +34,7 @@ def split_decode(params, z, states, cfg, nb_chunks: int = 4):
     z: (B, S, 80) dframe-rate latents; states: (B, S, 24) PVQ states.
     Each chunk [b, e) decodes with the state at its last step."""
     S = z.shape[1]
-    L = max(1, S // nb_chunks)
+    L = max(1, -(-S // nb_chunks))   # ceil: cover the tail when S % nb != 0
     outs = []
     for c in range(nb_chunks):
         b, e = c * L, min((c + 1) * L, S)
