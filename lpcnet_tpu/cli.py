@@ -242,18 +242,23 @@ def cmd_plc(args) -> int:
     (lpcnet_demo -plc_file, src/lpcnet_demo.c:220-249)."""
     import jax.numpy as jnp
     from .models import lpcnet, plc as plc_model
-    from .plc import PLCEngine, PLCOptions
+    from .plc import NonCausalPLCEngine, PLCEngine, PLCOptions
     pcm = read_pcm(args.input)
     n_fr = len(pcm) // FRAME_SIZE // 2 * 2
     pcm = pcm[:n_fr * FRAME_SIZE]
     flags = _read_loss_flags(args.loss, n_fr // 2, args.seed)
-    cfg = lpcnet.LPCNetConfig()
+    noncausal = "noncausal" in args.options or "non_causal" in args.options
+    cfg = lpcnet.LPCNetConfig(lookahead=0 if noncausal else 2)
     lp = load_model_params(args.weights, lambda k:
                            lpcnet.init_params(k, cfg))
     pp = load_model_params(args.plc_weights, plc_model.init_params,
                            rng_seed=1)
-    engine = PLCEngine(lp, pp, cfg,
-                       options=PLCOptions(remove_dc="dc" in args.options))
+    if noncausal:
+        engine = NonCausalPLCEngine(lp, pp, cfg)
+    else:
+        engine = PLCEngine(lp, pp, cfg,
+                           options=PLCOptions(
+                               remove_dc="dc" in args.options))
     state = engine.init_state(1)
     outs = []
     for f in range(n_fr):
@@ -675,7 +680,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("input")
     s.add_argument("output")
     s.add_argument("--options", default="causal",
-                   help="causal | causal_dc")
+                   choices=["causal", "causal_dc", "noncausal"],
+                   help="noncausal = 5 ms lookahead, output delayed "
+                        "by 80 samples")
     s.add_argument("--weights", default=None)
     s.add_argument("--plc-weights", default=None)
     s.add_argument("--seed", type=int, default=0)

@@ -132,6 +132,33 @@ def sample_step(tables: Dict[str, Any], state: Dict[str, jax.Array],
     return new_state, out
 
 
+def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
+                  cond: Dict[str, jax.Array], cfg, nsamples: int,
+                  target: Optional[jax.Array] = None,
+                  preload: Optional[jax.Array] = None
+                  ) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """Synthesize `nsamples` steps under ONE condition set — the equivalent
+    of lpcnet_synthesize_tail_impl (lpcnet.c:235-271) called standalone,
+    as the PLC engines do for sub-frame segments.
+
+    cond: cond_a (B,3Na), cond_b (B,3Nb), lpc (B,16).
+    target: optional (B, nsamples); preload: optional (B,) int32 — samples
+    [0, preload) are teacher-forced. Returns (state, (B, nsamples))."""
+    approx, preemph = cfg.approx, cfg.preemph
+    ca, cb, lp = cond["cond_a"], cond["cond_b"], cond["lpc"]
+
+    def body(st, i):
+        if target is not None:
+            pl = preload if preload is not None \
+                else jnp.full(ca.shape[:1], nsamples, jnp.int32)
+            return sample_step(tables, st, ca, cb, lp, approx, preemph,
+                               target=target[:, i], teacher_mask=i < pl)
+        return sample_step(tables, st, ca, cb, lp, approx, preemph)
+
+    state, pcm = jax.lax.scan(body, state, jnp.arange(nsamples))
+    return state, pcm.T
+
+
 def synthesize_frames(tables: Dict[str, Any], state: Dict[str, jax.Array],
                       conds: Dict[str, jax.Array], cfg,
                       target: Optional[jax.Array] = None,

@@ -188,6 +188,11 @@ def frame_net_step(params, tables, fstate, features, cfg: LPCNetConfig):
     if cfg.e2e:
         lpc = rc2lpc(cfeat[..., :cfg.lpc_order])
         old_lpc = fstate["old_lpc"]
+    elif cfg.lookahead == 0:
+        # no-lookahead models use the current frame's LPC directly
+        # (the FEATURES_DELAY loop body vanishes, lpcnet.c:109-115)
+        lpc, _ = dsp.lpc_from_cepstrum(features[..., :NB_BANDS])
+        old_lpc = fstate["old_lpc"]
     else:
         # LPC delayed by FEATURES_DELAY frames (lpcnet.c:109-115)
         new_lpc, _ = dsp.lpc_from_cepstrum(features[..., :NB_BANDS])

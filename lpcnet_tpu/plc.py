@@ -295,3 +295,198 @@ class PLCEngine:
             blend=lost, fec_read=fec_read, fec_skip=fec_skip,
             fec_keep=fec_keep, dc_mem=dc_mem, syn_dc=syn_dc)
         return new_state, output
+
+
+class NonCausalPLCEngine:
+    """Non-causal PLC with 5 ms lookahead (lpcnet_plc.c:349-492): output is
+    delayed by TRAINING_OFFSET (80 samples), which lets the first good frame
+    after a loss be blended with a TIME-REVERSED synthesis that meets the
+    real audio halfway — much smoother recovery than the causal cross-fade.
+
+    Requires a no-lookahead model (FEATURES_DELAY == 0, enforced like the C
+    at lpcnet_plc.c:356-361). Batched over streams with per-stream loss
+    masks; every control path is computed for every stream and selected.
+
+    Documented divergences from the C:
+      * remove_dc is not implemented in this mode (the causal engine has it)
+      * the enc feature-extractor state advances with batched chunk calls,
+        so its pitch history is equivalent but not byte-identical
+    """
+
+    def __init__(self, lpcnet_params, plc_params,
+                 cfg: Optional[lpcnet_model.LPCNetConfig] = None,
+                 plc_cfg: Optional[plc_model.PLCConfig] = None):
+        self.cfg = cfg or lpcnet_model.LPCNetConfig(lookahead=0)
+        assert self.cfg.lookahead == 0, (
+            "Non-causal PLC needs a no-lookahead model (FEATURES_DELAY==0),"
+            " cf. lpcnet_plc.c:356-361")
+        self.plc_cfg = plc_cfg or plc_model.PLCConfig()
+        self.params = lpcnet_params
+        self.plc_params = plc_params
+        self.tables = lpcnet_model.precompute_sample_tables(lpcnet_params,
+                                                            self.cfg)
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self, batch: int) -> Dict[str, Any]:
+        return {
+            "synth": sample_scan.init_state(batch, self.cfg),
+            "fnet": lpcnet_model.frame_net_init_state(batch, self.cfg),
+            "enc": F.init_state(batch),
+            "plc_net": plc_model.init_net_state(batch, self.plc_cfg),
+            "features": jnp.zeros((batch, NB_TOTAL_FEATURES), jnp.float32),
+            "pcm_buf": jnp.zeros((batch, FRAME_SIZE), jnp.float32),
+            "queued": jnp.zeros((batch,), bool),
+            "queued_samples": jnp.zeros((batch, FRAME_SIZE), jnp.float32),
+            "loss_count": jnp.zeros((batch,), jnp.int32),
+        }
+
+    def step(self, state, pcm, lost):
+        """One 10-ms frame per stream; output is the stream DELAYED by
+        80 samples. pcm: (B, 160) (ignored where lost); lost: (B,) bool."""
+        return self._step(state, pcm, lost)
+
+    # ------------------------------------------------------------------
+    def _cond(self, fstate, feats36):
+        fstate, cond = lpcnet_model.frame_net_step(
+            self.params, self.tables, fstate, feats36, self.cfg)
+        return fstate, {k: v for k, v in cond.items() if k != "cfeat"}
+
+    def _sel(self, mask, a, b):
+        pick = lambda x, y: jnp.where(
+            mask.reshape(mask.shape + (1,) * (x.ndim - 1)), x, y)
+        return jax.tree.map(pick, a, b)
+
+    def _step_impl(self, state, pcm, lost):
+        B = pcm.shape[0]
+        cfg = self.cfg
+        off = TRAINING_OFFSET
+        buf = state["pcm_buf"]
+        lc = state["loss_count"]
+
+        # --- 0. queued teacher-forced catch-up (process_queued_update,
+        # lpcnet_plc.c:342-347) — runs first on every path
+        fnetQ, condQ = self._cond(state["fnet"], state["features"])
+        synthQ, _ = sample_scan.synth_samples(
+            self.tables, state["synth"], condQ, cfg, FRAME_SIZE,
+            target=state["queued_samples"])
+        synth = self._sel(state["queued"], synthQ, state["synth"])
+        fnet = self._sel(state["queued"], fnetQ, state["fnet"])
+
+        burg36 = burg_ops.burg_cepstral_analysis(pcm)
+        zeros20 = jnp.zeros((B, NB_FEATURES), jnp.float32)
+        one = jnp.ones((B, 1), jnp.float32)
+
+        # ============ UPDATE path (good frame, lpcnet_plc.c:350-450)
+        was_lost = lc > 0
+        # --- blend sub-path: PLC pred on [burg36 | 0 | 1]
+        in_blend = jnp.concatenate([burg36, zeros20, one], axis=-1)
+        plc_b, pred_b = plc_model.step(self.plc_params, state["plc_net"],
+                                       in_blend, self.plc_cfg)
+        feats_b = jnp.zeros((B, NB_TOTAL_FEATURES)).at[:, :NB_FEATURES].set(
+            pred_b)
+        # pass 1: continue concealment for the buffered 5 ms (:386)
+        fnet1, cond1 = self._cond(fnet, feats_b)
+        synth1, tail_new = sample_scan.synth_samples(
+            self.tables, synth, cond1, cfg, off)
+        buf_b = jnp.concatenate([buf[:, :off], tail_new], axis=-1)
+        # pass 2: time-reversed synthesis from cleared sample state (:401-411)
+        rev_in = pcm[:, ::-1]
+        synth_clear = sample_scan.init_state(B, cfg)
+        synth_clear["rng"] = synth1["rng"]     # keep the RNG stream moving
+        fnet2, cond2 = self._cond(fnet1, feats_b)
+        synth2, _ = sample_scan.synth_samples(
+            self.tables, synth_clear, cond2, cfg, FRAME_SIZE, target=rev_in)
+        _, rev_out = sample_scan.synth_samples(
+            self.tables, synth2, cond2, cfg, off)
+        # raised-cosine cross-fade, reversed into the buffer tail (:407-411)
+        i = jnp.arange(off, dtype=jnp.float32)
+        w = 0.5 - 0.5 * jnp.cos(np.pi * i / off)
+        mixed = w * buf_b[:, FRAME_SIZE - 1 - jnp.arange(off, dtype=jnp.int32)] \
+            + (1 - w) * rev_out
+        mixed = jnp.floor(0.5 + mixed)[:, ::-1]
+        buf_b = jnp.concatenate([buf_b[:, :off], mixed], axis=-1)
+        # blend: the synth/frame states revert to the pre-pass copy (:414)
+        # and the catch-up is queued for the next step (:415-418)
+        queued_b = jnp.concatenate([buf_b[:, off:], pcm[:, :off]], axis=-1)
+        # enc state advances over the blended previous frame (:421-424)
+        encB, _, _ = F.compute_features(state["enc"], buf_b, mode="single")
+
+        # --- shared: enc features of the incoming frame (:430-433)
+        enc_in = self._sel(lost | ~was_lost, state["enc"], encB)
+        enc2, featsg, _ = F.compute_features(enc_in, pcm, mode="single")
+        featg36 = featsg[:, 0]
+
+        # --- good sub-path (no preceding loss, :434-441)
+        in_good = jnp.concatenate(
+            [burg36, featg36[:, :NB_FEATURES], one], axis=-1)
+        plc_g, pred_g = plc_model.step(self.plc_params, state["plc_net"],
+                                       in_good, self.plc_cfg)
+        delayed = jnp.concatenate([buf[:, off:], pcm[:, :off]], axis=-1)
+        fnetG, condG = self._cond(fnet, featg36)
+        synthG, _ = sample_scan.synth_samples(
+            self.tables, synth, condG, cfg, FRAME_SIZE, target=delayed)
+
+        # update-path results
+        out_upd = jnp.where(was_lost[:, None],
+                            jnp.concatenate([buf_b[:, off:], pcm[:, :off]],
+                                            axis=-1),
+                            delayed)
+        buf_upd = pcm
+        synth_upd = self._sel(was_lost, synth, synthG)   # blend keeps copy
+        fnet_upd = self._sel(was_lost, fnet, fnetG)
+        plc_upd = self._sel(was_lost, plc_b, plc_g)
+        feats_upd = jnp.where(was_lost[:, None], feats_b,
+                              jnp.zeros((B, NB_TOTAL_FEATURES))
+                              .at[:, :NB_FEATURES].set(pred_g))
+        enc_upd = enc2
+
+        # ============ CONCEAL path (lost frame, lpcnet_plc.c:452-492)
+        zeros57 = jnp.zeros((B, 2 * NB_BANDS + NB_FEATURES + 1), jnp.float32)
+        plc_c, pred_c = plc_model.step(self.plc_params, state["plc_net"],
+                                       zeros57, self.plc_cfg)
+        att = jnp.where(
+            lc >= 10,
+            ATT_TABLE[9] - 2.0 * (lc - 9).astype(jnp.float32),
+            jnp.asarray(ATT_TABLE)[jnp.clip(lc, 0, 9)])
+        feats_c = jnp.zeros((B, NB_TOTAL_FEATURES)).at[:, :NB_FEATURES].set(
+            pred_c)
+        feats_c = feats_c.at[:, 0].set(
+            jnp.maximum(-10.0, feats_c[:, 0] + att))
+        fnetC, condC = self._cond(fnet, feats_c)
+        # first loss: teacher-force the buffered 5 ms then free-run (:463-466)
+        target_first = jnp.concatenate(
+            [buf[:, off:], jnp.zeros((B, off))], axis=-1)
+        preload_first = jnp.full((B,), off, jnp.int32)
+        synthC1, outC1 = sample_scan.synth_samples(
+            self.tables, synth, condC, cfg, FRAME_SIZE,
+            target=target_first, preload=preload_first)
+        buf_c1 = jnp.concatenate([outC1[:, off:], buf[:, off:]], axis=-1)
+        # repeated loss: free-run a full frame (:467-475)
+        synthC2, outC2 = sample_scan.synth_samples(
+            self.tables, synth, condC, cfg, FRAME_SIZE)
+        bufmid = jnp.concatenate([buf[:, :off], outC2[:, :off]], axis=-1)
+        encC, _, _ = F.compute_features(state["enc"], bufmid, mode="single")
+        buf_c2 = jnp.concatenate([outC2[:, off:], outC2[:, :off]], axis=-1)
+
+        first = lc == 0
+        out_con = jnp.where(first[:, None], outC1, outC2)
+        buf_con = jnp.where(first[:, None], buf_c1, buf_c2)
+        synth_con = self._sel(first, synthC1, synthC2)
+        enc_con = self._sel(first, state["enc"], encC)
+
+        # ============ merge paths
+        new_state = dict(state)
+        new_state.update(
+            synth=self._sel(lost, synth_con, synth_upd),
+            fnet=self._sel(lost, fnetC, fnet_upd),
+            enc=self._sel(lost, enc_con, enc_upd),
+            plc_net=self._sel(lost, plc_c, plc_upd),
+            features=jnp.where(lost[:, None], feats_c, feats_upd),
+            pcm_buf=jnp.where(lost[:, None], buf_con, buf_upd),
+            queued=jnp.where(lost, False, was_lost),
+            queued_samples=jnp.where(lost[:, None],
+                                     state["queued_samples"], queued_b),
+            loss_count=jnp.where(lost, lc + 1, 0),
+        )
+        output = jnp.where(lost[:, None], out_con, out_upd)
+        return new_state, output

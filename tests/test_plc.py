@@ -141,3 +141,74 @@ class TestPLCTraining:
         batch = plc_task.make_batch(jax.random.PRNGKey(0), feats, trace)
         assert float(jnp.abs(batch["inputs"][..., :56]).max()) == 0.0
         assert float(batch["mask"].max()) == 0.0
+
+
+class TestNonCausalPLCEngine:
+    @pytest.fixture(scope="class")
+    def nc_engine(self):
+        cfg = lm.LPCNetConfig(gru_a_units=64, gru_b_units=16, cond_size=32,
+                              embed_sig_size=16, embed_pitch_size=8,
+                              lookahead=0)
+        lp = lm.init_params(jax.random.PRNGKey(0), cfg)
+        pp = pm.init_params(jax.random.PRNGKey(1), PCFG)
+        return plc_engine.NonCausalPLCEngine(lp, pp, cfg, PCFG)
+
+    def test_requires_no_lookahead(self):
+        lp = lm.init_params(jax.random.PRNGKey(0), CFG)
+        pp = pm.init_params(jax.random.PRNGKey(1), PCFG)
+        with pytest.raises(AssertionError):
+            plc_engine.NonCausalPLCEngine(lp, pp, CFG, PCFG)
+
+    def test_good_stream_is_delayed_passthrough(self, nc_engine):
+        """With no losses, output equals the input delayed by 80 samples
+        (the 5 ms lookahead, lpcnet_plc.c:441-444)."""
+        B, T = 2, 6
+        state = nc_engine.init_state(B)
+        pcm = _speech(B, T * FRAME_SIZE)
+        outs = []
+        for t in range(T):
+            fr = jnp.asarray(pcm[:, t * FRAME_SIZE:(t + 1) * FRAME_SIZE])
+            state, out = nc_engine.step(state, fr, jnp.zeros((B,), bool))
+            outs.append(np.asarray(out))
+        got = np.concatenate(outs, axis=1)
+        off = 80
+        np.testing.assert_allclose(got[:, off:], pcm[:, :-off], atol=1e-3)
+        np.testing.assert_allclose(got[:, :off], 0.0, atol=1e-3)
+
+    def test_concealment_and_recovery(self, nc_engine):
+        B, T = 2, 8
+        state = nc_engine.init_state(B)
+        pcm = _speech(B, T * FRAME_SIZE)
+        lost_pattern = [0, 0, 0, 1, 1, 0, 0, 0]
+        outs = []
+        for t in range(T):
+            fr = jnp.asarray(pcm[:, t * FRAME_SIZE:(t + 1) * FRAME_SIZE])
+            lost = jnp.full((B,), bool(lost_pattern[t]))
+            state, out = nc_engine.step(state, fr, lost)
+            outs.append(np.asarray(out))
+        got = np.concatenate(outs, axis=1)
+        assert np.isfinite(got).all()
+        # frame 2's output (delayed frame-1 tail + frame-2 head) is clean
+        np.testing.assert_allclose(
+            got[:, 2 * FRAME_SIZE + 80:3 * FRAME_SIZE],
+            pcm[:, 2 * FRAME_SIZE:3 * FRAME_SIZE - 80], atol=1e-3)
+        # after recovery, passthrough resumes (delayed)
+        np.testing.assert_allclose(
+            got[:, 7 * FRAME_SIZE:], pcm[:, 7 * FRAME_SIZE - 80:-80],
+            atol=1e-3)
+        assert int(state["loss_count"].max()) == 0
+
+    def test_per_stream_independence(self, nc_engine):
+        B = 2
+        state = nc_engine.init_state(B)
+        pcm = _speech(B, 5 * FRAME_SIZE)
+        for t in range(5):
+            fr = jnp.asarray(pcm[:, t * FRAME_SIZE:(t + 1) * FRAME_SIZE])
+            lost = jnp.asarray([t == 2, False])
+            state, out = nc_engine.step(state, fr, lost)
+            out = np.asarray(out)
+            if t >= 1 and t not in (2, 3):
+                np.testing.assert_allclose(
+                    out[1, 80:],
+                    pcm[1, t * FRAME_SIZE:(t + 1) * FRAME_SIZE - 80],
+                    atol=1e-3)
