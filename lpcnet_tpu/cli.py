@@ -77,6 +77,17 @@ def load_model_params(path: Optional[str], init_fn, rng_seed: int = 0):
     return weights_io.load_params(path)
 
 
+def load_lpcnet_model(path: Optional[str], default_cfg=None):
+    """LPCNet params + config; .h5 files come from the reference Keras
+    trainer (utils/import_keras.py), everything else is a DNNw blob."""
+    from .models import lpcnet
+    cfg = default_cfg or lpcnet.LPCNetConfig()
+    if path and path.endswith(".h5"):
+        from .utils import import_keras
+        return import_keras.import_lpcnet_h5(path)
+    return load_model_params(path, lambda k: lpcnet.init_params(k, cfg)), cfg
+
+
 def _jnp():
     import jax.numpy as jnp
     return jnp
@@ -117,9 +128,7 @@ def cmd_synthesis(args) -> int:
     from .models import lpcnet
     from .vocoder import Synthesizer
     feats = read_features(args.input)
-    cfg = lpcnet.LPCNetConfig()
-    params = load_model_params(args.weights, lambda k:
-                               lpcnet.init_params(k, cfg))
+    params, cfg = load_lpcnet_model(args.weights)
     voc = Synthesizer(cfg, params=params, backend=args.backend)
     state = voc.reset(1)
     T = feats.shape[0]
@@ -203,9 +212,7 @@ def cmd_decode(args) -> int:
     raw = raw[:n_sf * LPCNET_COMPRESSED_SIZE].reshape(
         n_sf, LPCNET_COMPRESSED_SIZE)
     cbs = _load_codebooks(args.codebooks)
-    cfg = lpcnet.LPCNetConfig()
-    params = load_model_params(args.weights, lambda k:
-                               lpcnet.init_params(k, cfg))
+    params, cfg = load_lpcnet_model(args.weights)
     voc = Synthesizer(cfg, params=params, backend=args.backend)
     state = voc.reset(1)
     dec_mem = jnp.zeros((1, NB_BANDS))
@@ -248,11 +255,14 @@ def cmd_plc(args) -> int:
     pcm = pcm[:n_fr * FRAME_SIZE]
     flags = _read_loss_flags(args.loss, n_fr // 2, args.seed)
     noncausal = "noncausal" in args.options or "non_causal" in args.options
-    cfg = lpcnet.LPCNetConfig(lookahead=0 if noncausal else 2)
-    lp = load_model_params(args.weights, lambda k:
-                           lpcnet.init_params(k, cfg))
-    pp = load_model_params(args.plc_weights, plc_model.init_params,
-                           rng_seed=1)
+    lp, cfg = load_lpcnet_model(
+        args.weights, lpcnet.LPCNetConfig(lookahead=0 if noncausal else 2))
+    if args.plc_weights and args.plc_weights.endswith(".h5"):
+        from .utils import import_keras
+        pp, _ = import_keras.import_plc_h5(args.plc_weights)
+    else:
+        pp = load_model_params(args.plc_weights, plc_model.init_params,
+                               rng_seed=1)
     if noncausal:
         engine = NonCausalPLCEngine(lp, pp, cfg)
     else:
@@ -783,7 +793,7 @@ def main(argv=None) -> int:
     except (FileNotFoundError, IsADirectoryError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    except (AssertionError, ValueError) as e:
+    except (AssertionError, ValueError, KeyError) as e:
         if os.environ.get("LPCNET_CLI_DEBUG"):
             raise
         print(f"error: {e} (set LPCNET_CLI_DEBUG=1 for a traceback)",
