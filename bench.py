@@ -23,7 +23,7 @@ def main():
     from lpcnet_tpu.models import lpcnet
     from lpcnet_tpu.vocoder import Synthesizer
 
-    batch = int(os.environ.get("LPCNET_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("LPCNET_BENCH_BATCH", "1024"))
     frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
     iters = int(os.environ.get("LPCNET_BENCH_ITERS", "5"))
     backend = os.environ.get("LPCNET_BENCH_BACKEND", "auto")

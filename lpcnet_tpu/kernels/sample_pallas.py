@@ -85,29 +85,15 @@ def _sigmoid(x):
     return 1.0 / (1.0 + jnp.exp(-x))
 
 
-def _frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
-                  tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
-                  wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
-                  dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
-                  logit_tbl_ref,
-                  gru_a_in, gru_b_in, sig_in, exc_in, deemph_in, rng_in,
-                  gru_a_out, gru_b_out, sig_out, exc_out, deemph_out,
-                  rng_out, pcm_ref, *, nsamples: int, preemph: float,
-                  wdtype=jnp.float32):
-    na = gru_a_in.shape[1]
-    cond_a = cond_a_ref[:]
-    cond_b = cond_b_ref[:]
-    lpc = lpc_ref[:]
-    wr_a = wr_a_ref[:]
-    br_a = br_a_ref[:]
-    wi_b = wi_b_ref[:]
-    wr_b = wr_b_ref[:]
-    br_b = br_b_ref[:]
-    dfc_w1 = dfc_w1_ref[:]
-    dfc_w2 = dfc_w2_ref[:]
-    dfc_b = dfc_b_ref[:]
-    dfc_f = dfc_f_ref[:]
-    logit_tbl = logit_tbl_ref[:]  # (1, 256)
+def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
+                nsamples: int, preemph: float, wdtype):
+    """The shared per-frame sample loop: `nsamples` AR steps under one
+    condition set, writing rounded samples via write_pcm(i, out). `carry` is
+    (gru_a, gru_b, last_sig, last_exc, deemph, rng); returns the final
+    carry. All operands are VMEM-resident values."""
+    (tbl_sig, tbl_pred, tbl_exc, wr_a, br_a, wi_b, wr_b, br_b,
+     dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl) = weights
+    na = wr_a.shape[0]
 
     def gru(h, zrh, wr, br):
         n = h.shape[1]
@@ -125,11 +111,11 @@ def _frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
         # one-hot gathers on the MXU (weights optionally bf16: 4x MXU rate,
         # still finer-grained than the reference's int8 deployment path)
         zrh_a = (cond_a
-                 + jnp.dot(_onehot(lsu, 256, wdtype), tbl_sig_ref[:],
+                 + jnp.dot(_onehot(lsu, 256, wdtype), tbl_sig,
                            preferred_element_type=jnp.float32)
-                 + jnp.dot(_onehot(pu, 256, wdtype), tbl_pred_ref[:],
+                 + jnp.dot(_onehot(pu, 256, wdtype), tbl_pred,
                            preferred_element_type=jnp.float32)
-                 + jnp.dot(_onehot(last_exc, 256, wdtype), tbl_exc_ref[:],
+                 + jnp.dot(_onehot(last_exc, 256, wdtype), tbl_exc,
                            preferred_element_type=jnp.float32))
         gru_a = gru(gru_a, zrh_a, wr_a, br_a)
         zrh_b = cond_b + jnp.dot(gru_a, wi_b,
@@ -165,13 +151,42 @@ def _frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
         deemph = out
         out = jnp.clip(out, -32767.0, 32767.0)
         out = jnp.floor(0.5 + out)
-        pcm_ref[i, :] = out
+        write_pcm(i, out)
         return gru_a, gru_b, last_sig, exc, deemph, rng
 
+    return jax.lax.fori_loop(0, nsamples, body, carry)
+
+
+def _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref, wr_a_ref,
+                  br_a_ref, wi_b_ref, wr_b_ref, br_b_ref, dfc_w1_ref,
+                  dfc_w2_ref, dfc_b_ref, dfc_f_ref, logit_tbl_ref):
+    return tuple(r[:] for r in (
+        tbl_sig_ref, tbl_pred_ref, tbl_exc_ref, wr_a_ref, br_a_ref,
+        wi_b_ref, wr_b_ref, br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
+        dfc_f_ref, logit_tbl_ref))
+
+
+def _frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
+                  tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                  wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
+                  dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
+                  logit_tbl_ref,
+                  gru_a_in, gru_b_in, sig_in, exc_in, deemph_in, rng_in,
+                  gru_a_out, gru_b_out, sig_out, exc_out, deemph_out,
+                  rng_out, pcm_ref, *, nsamples: int, preemph: float,
+                  wdtype=jnp.float32):
+    weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                            wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
+                            br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
+                            dfc_f_ref, logit_tbl_ref)
     init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
             deemph_in[:, 0], rng_in[:])
-    gru_a, gru_b, last_sig, exc, deemph, rng = jax.lax.fori_loop(
-        0, nsamples, body, init)
+    def write_pcm(i, out):
+        pcm_ref[i, :] = out
+
+    gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop(
+        weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
+        nsamples, preemph, wdtype)
     gru_a_out[:] = gru_a
     gru_b_out[:] = gru_b
     sig_out[:] = last_sig
@@ -286,6 +301,9 @@ def synthesize_frames_pallas(tables, state, conds, cfg,
                              interpret: bool = False,
                              table_dtype=jnp.float32):
     """Multi-frame synthesis: lax.scan over frames, fused kernel per frame.
+    (A single-launch grid=(tiles, frames) variant with VMEM-carried state
+    measured ~10% SLOWER on v5e than scanning launches — XLA overlaps the
+    next frame's host/cond work with the running kernel; kept the scan.)
     conds as in sample_scan.synthesize_frames. Returns (state, (B, T*fs))."""
     B, T = conds["cond_a"].shape[:2]
     fs = cfg.frame_size
