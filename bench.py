@@ -6,7 +6,9 @@ a CPU core (README.md:33, ~3 GFLOPS); BASELINE.md's driver target is >=300x
 per chip. Prints one JSON line.
 
 Env overrides: LPCNET_BENCH_BATCH (streams), LPCNET_BENCH_FRAMES (per call),
-LPCNET_BENCH_ITERS.
+LPCNET_BENCH_ITERS, LPCNET_BENCH_DEVICES=all (shard streams across every
+visible device and report aggregate RT + per-device scaling efficiency),
+LPCNET_PROFILE_DIR (write a jax.profiler trace).
 """
 import json
 import os
@@ -28,8 +30,18 @@ def main():
     iters = int(os.environ.get("LPCNET_BENCH_ITERS", "5"))
     backend = os.environ.get("LPCNET_BENCH_BACKEND", "auto")
 
+    multi = os.environ.get("LPCNET_BENCH_DEVICES", "") == "all"
+    profile_dir = os.environ.get("LPCNET_PROFILE_DIR")
+
     voc = Synthesizer(lpcnet.LPCNetConfig(), backend=backend)
-    state = voc.reset(batch, per_stream_rng=True)
+    if multi:
+        from lpcnet_tpu.parallel import mesh as pmesh
+        n_dev = len(jax.devices())
+        batch = batch * n_dev        # weak scaling: same per-chip load
+        state, synth_fn = pmesh.shard_synthesis(voc, batch)
+    else:
+        state = voc.reset(batch, per_stream_rng=True)
+        synth_fn = voc.synthesize
 
     rs = np.random.RandomState(0)
     feats = np.zeros((batch, frames, NB_TOTAL_FEATURES), np.float32)
@@ -39,23 +51,30 @@ def main():
     feats = jnp.asarray(feats)
 
     # compile + warmup
-    state, pcm = voc.synthesize(state, feats)
+    state, pcm = synth_fn(state, feats)
     jax.block_until_ready(pcm)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, pcm = voc.synthesize(state, feats)
-    jax.block_until_ready(pcm)
-    dt = time.perf_counter() - t0
+    from lpcnet_tpu.utils import profiling
+    with profiling.trace(profile_dir):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, pcm = synth_fn(state, feats)
+        jax.block_until_ready(pcm)
+        dt = time.perf_counter() - t0
 
     audio_seconds = iters * batch * frames * voc.cfg.frame_size / 16000.0
     rt_factor = audio_seconds / dt
-    print(json.dumps({
+    result = {
         "metric": "synthesis_rt_factor_per_chip",
         "value": round(rt_factor, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rt_factor / 1.0, 2),
-    }))
+    }
+    if multi:
+        n_dev = len(jax.devices())
+        result.update(metric="synthesis_rt_factor_total", devices=n_dev,
+                      per_device=round(rt_factor / n_dev, 2))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,33 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = "dp"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_synthesis(voc, batch: int, mesh: Optional[Mesh] = None,
+                    axis_name: str = "dp"):
+    """Stream-data-parallel synthesis setup (BASELINE.json config 5:
+    thousands of concurrent streams sharded across chips, features
+    ingested per host).
+
+    Returns (state, synth_fn) where state's stream axis is sharded over
+    the mesh and synth_fn(state, features) runs the jitted DP synthesis —
+    features may be host numpy; they are device_put with the same stream
+    sharding (the per-host ingest boundary). Weights are replicated; XLA
+    inserts no collectives in the forward path (streams are independent),
+    so scaling is communication-free by construction.
+    """
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    assert batch % n == 0, f"batch {batch} must divide over {n} devices"
+    sh = batch_sharding(mesh, axis_name)
+    state = voc.reset(batch, per_stream_rng=True)
+    state = jax.tree.map(lambda x: jax.device_put(x, sh), state)
+
+    def synth_fn(state, features):
+        features = jax.device_put(jnp.asarray(features), sh)
+        return voc.synthesize(state, features)
+
+    return state, synth_fn
+
+
 def dryrun_training_step(n_devices: int) -> None:
     """Build an n_devices mesh, jit the FULL LPCNet training step with real
     dp shardings, and run one step on tiny shapes. Used by the driver to
