@@ -17,6 +17,19 @@ TPU-native choices:
 
 Weights are expected in float32 (2.5 MB) - fits VMEM with room for a
 batch tile of a few hundred streams.
+
+Perf experiments tried and rejected on v5e (2026-08, keep for later rounds):
+  * single-launch grid=(tiles, frames) with VMEM-carried state: ~10%
+    slower than lax.scan over per-frame launches (XLA overlaps the next
+    frame's conditioning with the running kernel).
+  * int8 MXU path (one-hot tables + GRU-A recurrent at scale-127): only
+    +7% — the loop is VPU/latency-bound, not MXU-bound.
+  * hoisting the KISS99 threshold stream out of the kernel (it is data-
+    independent, so (T*160, 8, B) thresholds can be precomputed
+    vectorized): any dynamic ref read inside THIS kernel's sample loop
+    crashes Mosaic's VectorLayoutInferer::inferReshape ("arr.size() >=
+    layout_rank(implicit_dim) (1 vs. 2)"), though the same read pattern
+    compiles in isolation. Re-try when Mosaic updates.
 """
 import functools
 from typing import Any, Dict, Tuple
