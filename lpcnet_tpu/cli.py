@@ -306,14 +306,18 @@ def cmd_plc_test(args) -> int:
 # -------------------------------------------------------------- dump-data
 
 def cmd_dump_data(args) -> int:
-    """Training/test data prep (src/dump_data.c:110-306). --train applies
-    augmentation + builds (sig_in, sig_out) pairs; --test extracts clean
-    features only."""
+    """Training/test data prep (src/dump_data.c:110-306).
+    train  = augmentation + features + (sig_in, sig_out) pairs
+    test   = clean features only
+    btrain = train + per-frame Burg cepstra interleaved [burg36|feat36]
+             (the -btrain PLC training format, dump_data.c:145-150,266-270)
+    btest  = clean [burg36|feat36] frames, no augmentation"""
+    import jax.numpy as jnp
     from . import data as D
+    from . import features as F
+    from .ops import burg as burg_ops
     pcm = read_pcm(args.input)
-    if args.mode == "test":
-        import jax.numpy as jnp
-        from . import features as F
+    if args.mode in ("test", "btest"):
         T = len(pcm) // FRAME_SIZE // 4 * 4
         state = F.init_state(1)
         outs = []
@@ -321,22 +325,39 @@ def cmd_dump_data(args) -> int:
             t1 = min(T, t0 + CHUNK_FRAMES)
             x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
             state, feats, _ = F.compute_features(state, x)
-            outs.append(np.asarray(feats[0]))
-        np.concatenate(outs).astype(np.float32).tofile(args.features)
-        print(f"wrote {T} feature frames -> {args.features}")
+            f = np.asarray(feats[0])
+            if args.mode == "btest":
+                import jax
+                frames = np.asarray(pcm[t0 * FRAME_SIZE:t1 * FRAME_SIZE],
+                                    np.float32).reshape(-1, FRAME_SIZE)
+                # jit: Burg is a 16-step unrolled update chain; eager
+                # dispatch of its hundreds of small ops takes minutes
+                b36 = np.asarray(jax.jit(burg_ops.burg_cepstral_analysis)(
+                    jnp.asarray(frames)))
+                f = np.concatenate([b36, f], axis=-1)
+            outs.append(f)
+        allf = np.concatenate(outs).astype(np.float32)
+        allf.tofile(args.features)
+        print(f"wrote {T} x {allf.shape[1]} feature frames "
+              f"-> {args.features}")
         return 0
-    assert args.data, "--train needs an output data.s16 path"
+    assert args.data, "train modes need an output data.s16 path"
     feats_all, data_all = [], []
-    total = len(pcm)
     # multiple passes with different augmentation filters
     # (dump_data.c:245-257, README.md:110)
     for p in range(args.passes):
-        feats, data = D.prepare_training_data(pcm, seed=args.seed + p)
+        if args.mode == "btrain":
+            feats, data, burg36 = D.prepare_training_data(
+                pcm, seed=args.seed + p, include_burg=True)
+            feats = np.concatenate([burg36, feats], axis=-1)
+        else:
+            feats, data = D.prepare_training_data(pcm, seed=args.seed + p)
         feats_all.append(feats)
         data_all.append(data)
-    np.concatenate(feats_all).astype(np.float32).tofile(args.features)
+    allf = np.concatenate(feats_all).astype(np.float32)
+    allf.tofile(args.features)
     np.concatenate(data_all).astype(np.int16).tofile(args.data)
-    print(f"wrote {sum(f.shape[0] for f in feats_all)} frames "
+    print(f"wrote {allf.shape[0]} x {allf.shape[1]} frames "
           f"({args.passes} passes) -> {args.features}, {args.data}")
     return 0
 
@@ -468,7 +489,13 @@ def cmd_train_plc(args) -> int:
     from .utils import checkpoint
 
     width = 2 * NB_BANDS + NB_FEATURES
-    feats = read_features(args.features, width)
+    raw = np.fromfile(args.features, np.float32)
+    if raw.size % (2 * NB_BANDS + NB_TOTAL_FEATURES) == 0:
+        # dump-data btrain layout [burg36|feat36]: keep burg36 + feat20
+        # (train_plc.py:246-260)
+        feats = raw.reshape(-1, 2 * NB_BANDS + NB_TOTAL_FEATURES)[:, :width]
+    else:
+        feats = raw.reshape(-1, width)
     if args.loss_traces:
         traces = np.loadtxt(args.loss_traces, dtype=np.int64).reshape(-1)
     else:
@@ -705,7 +732,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_plc_test)
 
     s = sub.add_parser("dump-data", help="training/test data prep")
-    s.add_argument("mode", choices=["train", "test"])
+    s.add_argument("mode", choices=["train", "test", "btrain", "btest"])
     s.add_argument("input")
     s.add_argument("features")
     s.add_argument("data", nargs="?", default=None)

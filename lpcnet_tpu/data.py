@@ -89,12 +89,17 @@ def build_pairs(pcm: np.ndarray, lpc: np.ndarray, noise: np.ndarray
 
 
 def prepare_training_data(pcm: np.ndarray, seed: int = 0,
-                          batch_streams: int = 8):
+                          batch_streams: int = 8,
+                          include_burg: bool = False):
     """Full pipeline: raw int16 speech -> (features (T, 36), data (S, 2)).
 
     Applies augmentation, extracts features (batched in JAX), shifts the
     PCM by TRAINING_OFFSET so features are centered on frames
-    (dump_data.c:273-274), and builds pairs."""
+    (dump_data.c:273-274), and builds pairs.
+
+    include_burg: also return per-frame Burg cepstra (T, 36) of the
+    pre-preemphasis signal (dump_data.c:266-270, the -btrain mode);
+    features then interleave as [burg36 | feat36] for PLC training."""
     import jax.numpy as jnp
     x, noise = augment(pcm, seed)
     S = len(x)
@@ -121,6 +126,16 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
     pcm16 = np.clip(np.floor(0.5 + pcm_del), -32767, 32767).astype(np.int16)
     data = build_pairs(pcm16, feats[:, 18 + 2:18 + 2 + LPC_ORDER]
                        .astype(np.float32), noise)
+    if include_burg:
+        import jax
+
+        from .ops import burg as burg_ops
+        from .ops import dsp
+        z, _ = dsp.deemphasis_scan(xj, jnp.zeros(1))
+        frames = z[0, :T * FRAME_SIZE].reshape(T, FRAME_SIZE)
+        burg36 = np.asarray(
+            jax.jit(burg_ops.burg_cepstral_analysis)(frames))
+        return feats, data, burg36
     return feats, data
 
 

@@ -93,6 +93,26 @@ class TestDataAndTraining:
              "--batch-size", "2", "--steps-per-epoch", "1",
              "--resume", ck])
 
+    def test_dump_data_btrain_feeds_train_plc(self, tmp_path):
+        """-btrain layout [burg36|feat36] -> PLC trainer end-to-end
+        (dump_data.c:145-150, train_plc.py:246-260)."""
+        make_pcm(tmp_path / "in.pcm", n_frames=120)
+        f32, s16 = tmp_path / "bf.f32", tmp_path / "bd.s16"
+        run(["dump-data", "btrain", tmp_path / "in.pcm", f32, s16])
+        feats = np.fromfile(f32, np.float32)
+        assert feats.size == 120 * (2 * NB_BANDS + NB_TOTAL_FEATURES)
+        run(["train-plc", f32, tmp_path / "run", "--epochs", "1",
+             "--batch-size", "2", "--seq-len", "30",
+             "--steps-per-epoch", "1"])
+        assert (tmp_path / "run" / "ckpt_000.bin").exists()
+
+    def test_dump_data_btest(self, tmp_path):
+        make_pcm(tmp_path / "in.pcm")
+        run(["dump-data", "btest", tmp_path / "in.pcm", tmp_path / "f.f32"])
+        feats = np.fromfile(tmp_path / "f.f32", np.float32)
+        assert feats.size == 8 * (2 * NB_BANDS + NB_TOTAL_FEATURES)
+        assert np.isfinite(feats).all()
+
     def test_train_plc(self, tmp_path):
         rs = np.random.RandomState(5)
         width = 2 * NB_BANDS + NB_FEATURES
