@@ -305,6 +305,22 @@ def cmd_plc_test(args) -> int:
 
 # -------------------------------------------------------------- dump-data
 
+def _hp_biquad(x: np.ndarray) -> np.ndarray:
+    """DC-blocking high-pass applied to all dump_data input
+    (dump_data.c:114-115,258: b={-2,1}, a={-1.99599,.996}, float64 accum)."""
+    b = (-2.0, 1.0)
+    a = (-1.99599, 0.99600)
+    y = np.empty_like(x, np.float32)
+    m0 = m1 = 0.0
+    for i in range(len(x)):
+        xi = float(x[i])
+        yi = xi + m0
+        m0 = m1 + (b[0] * xi - a[0] * yi)
+        m1 = b[1] * xi - a[1] * yi
+        y[i] = yi
+    return y
+
+
 def cmd_dump_data(args) -> int:
     """Training/test data prep (src/dump_data.c:110-306).
     train  = augmentation + features + (sig_in, sig_out) pairs
@@ -318,6 +334,7 @@ def cmd_dump_data(args) -> int:
     from .ops import burg as burg_ops
     pcm = read_pcm(args.input)
     if args.mode in ("test", "btest"):
+        pcm = _hp_biquad(pcm)
         T = len(pcm) // FRAME_SIZE // 4 * 4
         state = F.init_state(1)
         outs = []
