@@ -130,14 +130,19 @@ def cmd_synthesis(args) -> int:
     feats = read_features(args.input)
     params, cfg = load_lpcnet_model(args.weights)
     voc = Synthesizer(cfg, params=params, backend=args.backend)
-    state = voc.reset(1)
+    if args.streaming:
+        state = voc.reset_streaming(1)
+        synth = voc.synthesize_streaming
+    else:
+        state = voc.reset(1)
+        synth = voc.synthesize
     T = feats.shape[0]
     outs = []
     t_synth = 0.0
     for t0 in range(0, T, CHUNK_FRAMES):
         f = jnp.asarray(feats[None, t0:t0 + CHUNK_FRAMES])
         t = time.perf_counter()
-        state, pcm = voc.synthesize(state, f)
+        state, pcm = synth(state, f)
         pcm = jax.block_until_ready(pcm)
         t_synth += time.perf_counter() - t
         outs.append(np.asarray(pcm[0]))
@@ -711,6 +716,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--weights", default=None)
     s.add_argument("--backend", default="auto",
                    choices=["auto", "scan", "pallas"])
+    s.add_argument("--streaming", action="store_true",
+                   help="reference-exact causal mode (C-matched warm-up "
+                        "silence, conv delay lines; scan backend)")
     s.set_defaults(fn=cmd_synthesis)
 
     s = sub.add_parser("encode", help="PCM -> 1.6 kb/s packets")

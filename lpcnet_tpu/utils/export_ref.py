@@ -1,0 +1,133 @@
+"""Export our LPCNet params to the reference C runtime's weight blob.
+
+The inverse of training_tf2/dump_lpcnet.py: produces a DNNw blob whose
+array names/layouts match what init_lpcnet_model expects
+(parse_lpcnet_weights.c:115-221), for the float (DISABLE_DOT_PROD) path:
+
+  gru_a_embed_{sig,pred,exc}_weights   E @ Wi slices   (dump_lpcnet.py:450-457)
+  gru_a_dense_feature_{weights,bias}   cond part + input bias (:458-460)
+  gru_b_dense_feature_{weights,bias}   cond part, zero bias   (:462-469)
+  gru_b_{weights,weights_idx}          block-sparse input (first Na rows)
+  gru_b_recurrent_weights, gru_b_{bias,subias}
+  sparse_gru_a_recurrent_weights{,_diag,_idx}, sparse_gru_a_{bias,subias}
+  dual_fc_{weights,bias,factor}        (units, ch, in) layout (mdense)
+  feature_conv{1,2}_{weights,bias}, feature_dense{1,2}_{weights,bias}
+  embed_pitch_weights
+
+Block-sparse layout (printSparseVector, dump_lpcnet.py:85-121): for each
+8-wide OUTPUT band, idx = [nblocks, in_pos0, in_pos1, ...] with 4-input x
+8-output float blocks stored input-major (vec.h:347-404 reads w[k*8+r]).
+"""
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _sparse_blocks(A: np.ndarray):
+    """A: (inputs, outputs). Returns (float blocks flat, idx int32) in the
+    reference layout. All non-(numerically-)zero 4x8 blocks are kept."""
+    N, M = A.shape
+    assert N % 4 == 0 and M % 8 == 0, (N, M)
+    W0 = []
+    idx = []
+    for i in range(M // 8):
+        pos = len(idx)
+        idx.append(-1)
+        nb = 0
+        for j in range(N // 4):
+            block = A[j * 4:(j + 1) * 4, i * 8:(i + 1) * 8]
+            if np.sum(np.abs(block)) > 1e-10:
+                nb += 1
+                idx.append(j * 4)
+                W0.append(block.reshape(-1))       # input-major (4, 8)
+        idx[pos] = nb
+    W = np.concatenate(W0) if W0 else np.zeros((0,), np.float32)
+    return W.astype(np.float32), np.asarray(idx, np.int32)
+
+
+def _gru_bias6(bi: np.ndarray, br: np.ndarray) -> np.ndarray:
+    return np.concatenate([bi, br]).astype(np.float32)
+
+
+def export_lpcnet_arrays(params: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    """params pytree (models/lpcnet.py layout) -> named arrays dict."""
+    p = {k: np.asarray(v) for k, v in _flatten2(params).items()}
+    na, nb, nc = cfg.gru_a_units, cfg.gru_b_units, cfg.cond_size
+    es = cfg.embed_sig_size
+    E = p["embed_sig/e"]
+    wi_a = p["gru_a/wi"]                      # (3*es + nc, 3na)
+    arrays: Dict[str, np.ndarray] = {}
+
+    arrays["gru_a_embed_sig_weights"] = (E @ wi_a[:es]).astype(np.float32)
+    arrays["gru_a_embed_pred_weights"] = \
+        (E @ wi_a[es:2 * es]).astype(np.float32)
+    arrays["gru_a_embed_exc_weights"] = \
+        (E @ wi_a[2 * es:3 * es]).astype(np.float32)
+    arrays["gru_a_dense_feature_weights"] = \
+        wi_a[3 * es:].astype(np.float32)
+    arrays["gru_a_dense_feature_bias"] = p["gru_a/bi"].astype(np.float32)
+
+    # sparse GRU-A recurrent: diag per gate + blocks of the rest
+    wr_a = p["gru_a/wr"].astype(np.float32).copy()     # (na, 3na)
+    diag = np.concatenate([np.diag(wr_a[:, k * na:(k + 1) * na])
+                           for k in range(3)])
+    for k in range(3):
+        sub = wr_a[:, k * na:(k + 1) * na]
+        sub -= np.diag(np.diag(sub))
+    W, idx = _sparse_blocks(wr_a)
+    arrays["sparse_gru_a_recurrent_weights"] = W
+    arrays["sparse_gru_a_recurrent_weights_idx"] = idx
+    arrays["sparse_gru_a_recurrent_weights_diag"] = diag.astype(np.float32)
+    bias6 = _gru_bias6(p["gru_a/bi"], p["gru_a/br"])
+    arrays["sparse_gru_a_bias"] = bias6
+    arrays["sparse_gru_a_subias"] = bias6      # float path never reads it
+
+    # GRU-B: sparse input over GRU-A outputs + cond dense + dense recurrent
+    wi_b = p["gru_b/wi"]                      # (na + nc, 3nb)
+    Wb, idxb = _sparse_blocks(wi_b[:na].astype(np.float32))
+    arrays["gru_b_weights"] = Wb
+    arrays["gru_b_weights_idx"] = idxb
+    arrays["gru_b_recurrent_weights"] = p["gru_b/wr"].astype(np.float32)
+    bias6b = _gru_bias6(p["gru_b/bi"], p["gru_b/br"])
+    arrays["gru_b_bias"] = bias6b
+    arrays["gru_b_subias"] = bias6b
+    arrays["gru_b_dense_feature_weights"] = \
+        wi_b[na:].astype(np.float32)
+    arrays["gru_b_dense_feature_bias"] = np.zeros(3 * nb, np.float32)
+
+    # dual_fc: ours (2, nb, 256) -> (256, 2, nb) (mdense layout)
+    arrays["dual_fc_weights"] = \
+        p["dual_fc/w"].transpose(2, 0, 1).astype(np.float32)
+    arrays["dual_fc_bias"] = p["dual_fc/b"].astype(np.float32)   # (2,256)
+    arrays["dual_fc_factor"] = p["dual_fc/factor"].astype(np.float32)
+
+    for name, ours in (("feature_conv1", "conv1"), ("feature_conv2",
+                                                    "conv2"),
+                       ("feature_dense1", "dense1"),
+                       ("feature_dense2", "dense2")):
+        arrays[f"{name}_weights"] = p[f"{ours}/w"].astype(np.float32)
+        arrays[f"{name}_bias"] = p[f"{ours}/b"].astype(np.float32)
+    arrays["embed_pitch_weights"] = p["embed_pitch/e"].astype(np.float32)
+    return arrays
+
+
+def _flatten2(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten2(v, f"{prefix}{k}/"))
+        else:
+            out[f"{prefix}{k}"] = v
+    return out
+
+
+def export_lpcnet_blob(params: Dict[str, Any], cfg, path: str) -> None:
+    """Write the blob consumed by lpcnet_load_model (lpcnet.c:202-210)."""
+    from . import weights_io
+    arrays = export_lpcnet_arrays(params, cfg)
+    flat = {}
+    for name, a in arrays.items():
+        assert len(name) <= 43, name
+        flat[name] = (a if a.dtype == np.int32
+                      else np.ascontiguousarray(a, np.float32)).reshape(-1)
+    weights_io.write_blob(path, flat)

@@ -80,3 +80,50 @@ class Synthesizer:
         per frame, samples [0, preload[b,t]) follow `target` instead of the
         sampled excitation — used by PLC resync and decoder priming."""
         return self._synth_teacher(state, features, target, preload)
+
+    # ------------------------------------------------ reference-exact mode
+    def reset_streaming(self, batch: int, per_stream_rng: bool = False):
+        """State for synthesize_streaming: sample state + the causal
+        frame-net delay lines (conv ring buffers, FEATURES_DELAY LPC)."""
+        return {"synth": self.reset(batch, per_stream_rng),
+                "fnet": lpcnet.frame_net_init_state(batch, self.cfg)}
+
+    def synthesize_streaming(self, state, features: jax.Array):
+        """Sample-exact twin of the C engine (lpcnet_synthesize,
+        lpcnet.c:279-281): causal convs with warm-up zeroing, FEATURES_DELAY
+        LPC pipelining, and the first FEATURES_DELAY frames emitted as
+        silence WITHOUT advancing the sample network or RNG
+        (lpcnet_synthesize_tail_impl, lpcnet.c:239-243). Matches the
+        reference waveform under matched weights + RNG up to float-rounding
+        bit flips (see tests/test_ref_parity.py). The batched
+        `synthesize` path is faster but uses same-padded convs, whose
+        conditioning alignment differs from the C's causal delay line."""
+        if not hasattr(self, "_synth_streaming"):
+            self._synth_streaming = jax.jit(self._synth_streaming_impl)
+        return self._synth_streaming(state, features)
+
+    def _synth_streaming_impl(self, state, features):
+        from .kernels.sample_scan import synth_samples
+        cfg = self.cfg
+
+        def body(carry, feat):
+            fstate, synth = carry
+            fstate, cond = lpcnet.frame_net_step(self.params, self.tables,
+                                                 fstate, feat, cfg)
+            cond = {k: v for k, v in cond.items() if k != "cfeat"}
+            new_synth, out = synth_samples(self.tables, synth, cond, cfg,
+                                           cfg.frame_size)
+            warm = fstate["frame_count"] > cfg.lookahead     # (B,)
+            synth = jax.tree.map(
+                lambda a, b: jnp.where(
+                    warm.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                new_synth, synth)
+            out = jnp.where(warm[:, None], out, 0.0)
+            return (fstate, synth), out
+
+        (fnet, synth), pcm = jax.lax.scan(
+            body, (state["fnet"], state["synth"]),
+            features.transpose(1, 0, 2))
+        B, T = features.shape[:2]
+        return ({"synth": synth, "fnet": fnet},
+                pcm.transpose(1, 0, 2).reshape(B, T * cfg.frame_size))

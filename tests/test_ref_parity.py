@@ -68,3 +68,77 @@ class TestReferenceFeatureParity:
                           np.float32).reshape(-1, NB_TOTAL_FEATURES)
         # the reference's frame 0 comes from an all-zero buffer: c0 ~ -12
         assert ref[0, 0] < -8
+
+
+class TestReferenceWaveformParity:
+    """Waveform match vs the ACTUAL reference C synthesis engine
+    (lpcnet.c + nnet.c, float path), with weights exported by
+    utils/export_ref and matched KISS99 ("LPCNet" seed). Residual
+    differences are +-1 rounding flips at floor(.5+x) boundaries from
+    float-association order; the sample paths are otherwise identical."""
+
+    @pytest.fixture(scope="class")
+    def waveforms(self, tmp_path_factory):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.models import lpcnet
+        from lpcnet_tpu.utils import export_ref
+        from lpcnet_tpu.vocoder import Synthesizer
+        tmp = tmp_path_factory.mktemp("refsynth")
+        build = subprocess.run(
+            ["bash", "tools/ref_synth/build.sh", "/root/reference",
+             str(tmp)], capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"reference build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+
+        cfg = lpcnet.LPCNetConfig(approx=True)
+        params = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
+        blob = tmp / "w.bin"
+        export_ref.export_lpcnet_blob(
+            jax.tree.map(np.asarray, params), cfg, str(blob))
+
+        pcm = np.fromfile(os.path.join(GOLDEN, "speech.s16"),
+                          np.int16).astype(np.float32)
+        T = min(80, len(pcm) // 160 // 4 * 4)
+        st = F.init_state(1)
+        st, feats, _ = F.compute_features(st, jnp.asarray(pcm[None,
+                                                              :T * 160]))
+        np.asarray(feats[0], np.float32).tofile(tmp / "f.f32")
+        r = subprocess.run([bin_path, str(blob), str(tmp / "f.f32"),
+                            str(tmp / "ref.pcm")], capture_output=True,
+                           text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(tmp / "ref.pcm", np.int16)
+
+        voc = Synthesizer(cfg, params=params, backend="scan")
+        sstate = voc.reset_streaming(1)
+        _, ours = voc.synthesize_streaming(sstate, feats)
+        ours = np.asarray(ours[0]).astype(np.int16)
+        n = min(len(ref), len(ours))
+        return ref[:n].astype(int), ours[:n].astype(int)
+
+    def test_exact_prefix(self, waveforms):
+        ref, ours = waveforms
+        d = np.abs(ref - ours)
+        first = int(np.argmax(d > 0)) if (d > 0).any() else len(d)
+        assert first >= 300, f"diverged at sample {first}"
+
+    def test_exact_fraction(self, waveforms):
+        ref, ours = waveforms
+        frac = float((np.asarray(ref) == np.asarray(ours)).mean())
+        assert frac > 0.9, frac
+
+    def test_waveform_correlation(self, waveforms):
+        ref, ours = waveforms
+        corr = float(np.corrcoef(ref, ours)[0, 1])
+        assert corr > 0.99, corr
+
+    def test_differences_are_rounding_scale(self, waveforms):
+        ref, ours = waveforms
+        d = np.abs(np.asarray(ref) - np.asarray(ours))
+        # the median nonzero difference is the +-1 rounding flip
+        nz = d[d > 0]
+        if nz.size:
+            assert np.median(nz) <= 2, np.median(nz)

@@ -1,0 +1,14 @@
+#!/bin/sh
+# Build the reference synthesis engine (float path) against a weight blob
+# exported by lpcnet_tpu.utils.export_ref. Output binary: $OUT/ref_synth.
+set -e
+REF=${1:-/root/reference}
+HERE=$(dirname "$0")
+OUT=${2:-$(mktemp -d)}
+gcc -O2 -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE \
+  -I"$HERE" -I$REF/include -I$REF/src \
+  $REF/src/lpcnet.c $REF/src/nnet.c $REF/src/freq.c $REF/src/kiss_fft.c \
+  $REF/src/pitch.c $REF/src/burg.c $REF/src/kiss99.c $REF/src/parse_lpcnet_weights.c \
+  $REF/src/lpcnet_tables.c "$HERE"/nnet_data.c "$HERE"/stubs.c "$HERE"/main.c \
+  -lm -o "$OUT"/ref_synth
+echo "$OUT/ref_synth"
