@@ -168,6 +168,7 @@ def _load_codebooks(path: Optional[str]):
 
 def cmd_encode(args) -> int:
     """PCM -> 8-byte packets per 40 ms (lpcnet_demo -encode)."""
+    import jax
     import jax.numpy as jnp
     from . import features as F
     from .codec import codec
@@ -179,6 +180,8 @@ def cmd_encode(args) -> int:
     vq_mem = jnp.zeros((1, NB_BANDS))
     bufs = []
     group = CHUNK_FRAMES // 4
+    enc_sf = jax.jit(lambda f, m, sp: codec.encode_superframe(
+        cbs, f, m, sp))
     for g0 in range(0, n_sf, group):
         g1 = min(n_sf, g0 + group)
         x = jnp.asarray(pcm[None, g0 * LPCNET_PACKET_SAMPLES:
@@ -186,8 +189,8 @@ def cmd_encode(args) -> int:
         state, feats, sps = F.compute_features(state, x,
                                                quantize_pitch=True)
         for i, g in enumerate(range(g0, g1)):
-            buf, _, vq_mem = codec.encode_superframe(
-                cbs, feats[:, 4 * i:4 * (i + 1)], vq_mem, sps[i])
+            buf, _, vq_mem = enc_sf(feats[:, 4 * i:4 * (i + 1)], vq_mem,
+                                    sps[i])
             bufs.append(np.asarray(buf[0], np.uint8))
     blob = np.concatenate(bufs)
     blob.tofile(args.output)
