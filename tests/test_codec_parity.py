@@ -113,3 +113,42 @@ class TestCodecParity:
         ref, ours = packets
         frac = float((ref == ours).all(axis=1).mean())
         assert frac > 0.9, frac
+
+
+class TestDecoderParity:
+    """decode_packet parity: the C decoder (lpcnet_dec.c:81-155) and ours
+    produce IDENTICAL feature frames from the same packet stream —
+    measured zero difference (the decode path is pure table lookups,
+    integer logic, and the same float arithmetic order)."""
+
+    def test_decoded_features_identical(self, packets, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu.codec import codec
+        from lpcnet_tpu.constants import NB_BANDS
+        ref_pkts, _ = packets
+        # reuse the binary built by the shared fixture's build dir
+        # (rebuild here to stay self-contained)
+        cbs = codec.default_codebooks(jax.random.PRNGKey(0))
+        _write_codebooks_c(tmp_path / "codebooks.c", cbs)
+        build = subprocess.run(
+            ["bash", "tools/ref_codec/build.sh", "/root/reference",
+             str(tmp_path / "codebooks.c"), str(tmp_path)],
+            capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        np.asarray(ref_pkts, np.uint8).tofile(tmp_path / "pkts.bin")
+        r = subprocess.run(
+            [str(tmp_path / "ref_decode"), str(tmp_path / "pkts.bin"),
+             str(tmp_path / "dec.f32")], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(tmp_path / "dec.f32", np.float32).reshape(-1, 36)
+
+        dec_mem = jnp.zeros((1, NB_BANDS))
+        dec = jax.jit(lambda b, m: codec.decode_packet(cbs, b, m))
+        outs = []
+        for p in range(len(ref_pkts)):
+            f, dec_mem = dec(jnp.asarray(ref_pkts[None, p]), dec_mem)
+            outs.append(np.asarray(f[0]))
+        ours = np.concatenate(outs)
+        np.testing.assert_array_equal(ref, ours)

@@ -14,4 +14,10 @@ gcc -O2 -DDISABLE_DOT_PROD \
   $REF/src/pitch.c $REF/src/burg.c $REF/src/common.c \
   $REF/src/lpcnet_tables.c "$CODEBOOKS" "$HERE"/enc_main.c \
   -lm -o "$OUT"/ref_encode
+gcc -O2 -DDISABLE_DOT_PROD \
+  -I"$SYNTH" -I$REF/include -I$REF/src \
+  $REF/src/lpcnet_dec.c $REF/src/lpcnet_enc.c $REF/src/freq.c \
+  $REF/src/kiss_fft.c $REF/src/pitch.c $REF/src/burg.c $REF/src/common.c \
+  $REF/src/lpcnet_tables.c "$CODEBOOKS" "$HERE"/dec_main.c \
+  -lm -o "$OUT"/ref_decode
 echo "$OUT"/ref_encode
