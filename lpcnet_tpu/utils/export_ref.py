@@ -121,13 +121,44 @@ def _flatten2(tree, prefix=""):
     return out
 
 
-def export_lpcnet_blob(params: Dict[str, Any], cfg, path: str) -> None:
-    """Write the blob consumed by lpcnet_load_model (lpcnet.c:202-210)."""
+def export_plc_arrays(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """PLC net params (models/plc.py) -> reference names (dump_plc.py):
+    plc_dense1, plc_gru1, plc_gru2 (sparse input + dense recurrent),
+    plc_out."""
+    p = {k: np.asarray(v) for k, v in _flatten2(params).items()}
+    arrays: Dict[str, np.ndarray] = {}
+    arrays["plc_dense1_weights"] = p["dense1/w"].astype(np.float32)
+    arrays["plc_dense1_bias"] = p["dense1/b"].astype(np.float32)
+    for name in ("gru1", "gru2"):
+        W, idx = _sparse_blocks(p[f"{name}/wi"].astype(np.float32))
+        arrays[f"plc_{name}_weights"] = W
+        arrays[f"plc_{name}_weights_idx"] = idx
+        arrays[f"plc_{name}_recurrent_weights"] = \
+            p[f"{name}/wr"].astype(np.float32)
+        bias6 = _gru_bias6(p[f"{name}/bi"], p[f"{name}/br"])
+        arrays[f"plc_{name}_bias"] = bias6
+        arrays[f"plc_{name}_subias"] = bias6
+    arrays["plc_out_weights"] = p["out/w"].astype(np.float32)
+    arrays["plc_out_bias"] = p["out/b"].astype(np.float32)
+    return arrays
+
+
+def _write_blob(arrays: Dict[str, np.ndarray], path: str) -> None:
     from . import weights_io
-    arrays = export_lpcnet_arrays(params, cfg)
     flat = {}
     for name, a in arrays.items():
         assert len(name) <= 43, name
         flat[name] = (a if a.dtype == np.int32
                       else np.ascontiguousarray(a, np.float32)).reshape(-1)
     weights_io.write_blob(path, flat)
+
+
+def export_lpcnet_blob(params: Dict[str, Any], cfg, path: str) -> None:
+    """Write the blob consumed by lpcnet_load_model (lpcnet.c:202-210)."""
+    _write_blob(export_lpcnet_arrays(params, cfg), path)
+
+
+def export_plc_blob(params: Dict[str, Any], path: str) -> None:
+    """Write the blob consumed by lpcnet_plc_load_model
+    (lpcnet_plc.c:94-96)."""
+    _write_blob(export_plc_arrays(params), path)

@@ -130,10 +130,17 @@ class TestReferenceWaveformParity:
         frac = float((np.asarray(ref) == np.asarray(ours)).mean())
         assert frac > 0.9, frac
 
+    def test_mean_error_is_subsample(self, waveforms):
+        # with the portable (-U__SSE2__) reference build the residual is
+        # pure +-1 rounding: mean|diff| ~0.03 on 16-bit samples
+        ref, ours = waveforms
+        d = np.abs(np.asarray(ref) - np.asarray(ours))
+        assert d.mean() < 1.0, d.mean()
+
     def test_waveform_correlation(self, waveforms):
         ref, ours = waveforms
         corr = float(np.corrcoef(ref, ours)[0, 1])
-        assert corr > 0.99, corr
+        assert corr > 0.9999, corr
 
     def test_differences_are_rounding_scale(self, waveforms):
         ref, ours = waveforms
@@ -142,3 +149,45 @@ class TestReferenceWaveformParity:
         nz = d[d > 0]
         if nz.size:
             assert np.median(nz) <= 2, np.median(nz)
+
+
+class TestPLCNetParity:
+    """compute_plc_pred parity (lpcnet_plc.c:135-145): the reference
+    nnet.c layer compute vs models/plc.py over 100 recurrent steps —
+    measured max|diff| 1.6e-7 (1-ulp class)."""
+
+    def test_predictions_match(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu.models import plc as pm
+        from lpcnet_tpu.utils import export_ref
+        build = subprocess.run(
+            ["bash", "tools/ref_plc/build.sh", "/root/reference",
+             str(tmp_path)], capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+        params = pm.init_params(jax.random.PRNGKey(1))
+        export_ref.export_plc_blob(
+            jax.tree.map(np.asarray, params), str(tmp_path / "w.bin"))
+        rs = np.random.RandomState(7)
+        T = 100
+        x = (rs.randn(T, 57) * 0.3).astype(np.float32)
+        x[:, 56] = (rs.uniform(size=T) > 0.2)
+        x.tofile(tmp_path / "in.f32")
+        r = subprocess.run([bin_path, str(tmp_path / "w.bin"),
+                            str(tmp_path / "in.f32"),
+                            str(tmp_path / "out.f32")],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(tmp_path / "out.f32", np.float32).reshape(-1, 20)
+
+        cfg = pm.PLCConfig(approx=True)
+        st = pm.init_net_state(1, cfg)
+        step = jax.jit(lambda s, xx: pm.step(params, s, xx, cfg))
+        outs = []
+        for t in range(T):
+            st, o = step(st, jnp.asarray(x[None, t]))
+            outs.append(np.asarray(o[0]))
+        d = np.abs(ref - np.stack(outs))
+        assert d.max() < 1e-5, d.max()

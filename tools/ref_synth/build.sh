@@ -5,7 +5,7 @@ set -e
 REF=${1:-/root/reference}
 HERE=$(dirname "$0")
 OUT=${2:-$(mktemp -d)}
-gcc -O2 -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE \
+gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE \
   -I"$HERE" -I$REF/include -I$REF/src \
   $REF/src/lpcnet.c $REF/src/nnet.c $REF/src/freq.c $REF/src/kiss_fft.c \
   $REF/src/pitch.c $REF/src/burg.c $REF/src/kiss99.c $REF/src/parse_lpcnet_weights.c \
