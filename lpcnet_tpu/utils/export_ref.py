@@ -162,3 +162,49 @@ def export_plc_blob(params: Dict[str, Any], path: str) -> None:
     """Write the blob consumed by lpcnet_plc_load_model
     (lpcnet_plc.c:94-96)."""
     _write_blob(export_plc_arrays(params), path)
+
+
+def export_rdovae_arrays(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """RDO-VAE params (models/rdovae.py) -> reference names
+    (dump_rdovae.py:154-258 + keraslayerdump.py conventions): denses
+    enc_dense{1,3,5,7,8}, gdense{1,2}, GRUs enc_dense{2,4,6} (sparse
+    input + dense recurrent), conv bits_dense; decoder mirrored with
+    state{1,2,3} and dec_final."""
+    p = {k: np.asarray(v) for k, v in _flatten2(params).items()}
+    arrays: Dict[str, np.ndarray] = {}
+
+    def dense(cname, ours):
+        arrays[f"{cname}_weights"] = p[f"{ours}/w"].astype(np.float32)
+        arrays[f"{cname}_bias"] = p[f"{ours}/b"].astype(np.float32)
+
+    def gru(cname, ours):
+        W, idx = _sparse_blocks(p[f"{ours}/wi"].astype(np.float32))
+        arrays[f"{cname}_weights"] = W
+        arrays[f"{cname}_weights_idx"] = idx
+        arrays[f"{cname}_recurrent_weights"] = \
+            p[f"{ours}/wr"].astype(np.float32)
+        bias6 = _gru_bias6(p[f"{ours}/bi"], p[f"{ours}/br"])
+        arrays[f"{cname}_bias"] = bias6
+        arrays[f"{cname}_subias"] = bias6
+
+    for i in (1, 3, 5, 7, 8):
+        dense(f"enc_dense{i}", f"enc/dense{i}")
+        dense(f"dec_dense{i}", f"dec/dense{i}")
+    for i in (2, 4, 6):
+        gru(f"enc_dense{i}", f"enc/gru{i}")
+        gru(f"dec_dense{i}", f"dec/gru{i}")
+    dense("gdense1", "enc/gdense1")
+    dense("gdense2", "enc/gdense2")
+    arrays["bits_dense_weights"] = \
+        p["enc/bits_conv/w"].astype(np.float32)
+    arrays["bits_dense_bias"] = p["enc/bits_conv/b"].astype(np.float32)
+    for i in (1, 2, 3):
+        dense(f"state{i}", f"dec/state{i}")
+    dense("dec_final", "dec/final")
+    return arrays
+
+
+def export_rdovae_blob(params: Dict[str, Any], path: str) -> None:
+    """Write the blob consumed by the DRED parity driver
+    (tools/ref_dred)."""
+    _write_blob(export_rdovae_arrays(params), path)
