@@ -30,6 +30,12 @@ Perf experiments tried and rejected on v5e (2026-08, keep for later rounds):
     crashes Mosaic's VectorLayoutInferer::inferReshape ("arr.size() >=
     layout_rank(implicit_dim) (1 vs. 2)"), though the same read pattern
     compiles in isolation. Re-try when Mosaic updates.
+  * ablation (bt=128): replacing the mu-law indices with constants lets
+    the compiler hoist the one-hot matmuls out of the loop and the frame
+    drops 0.26 -> 0.06 ms — i.e. the loop is bound by the serialized
+    data-dependent chain (pred -> mu-law -> gather -> GRU -> sample),
+    not by any single op's throughput. Bigger wins need restructuring
+    (e.g. speculating both tree branches), not op-level tuning.
 """
 import functools
 from typing import Any, Dict, Tuple

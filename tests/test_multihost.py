@@ -1,0 +1,110 @@
+"""Multi-process (multi-host) training validation via jax.distributed.
+
+The reference entrusts distributed correctness to tf.distribute
+(SURVEY.md section 4 item 6); here we actually run a 2-process CPU
+"cluster": each process initializes jax.distributed against a shared
+coordinator, builds the global dp mesh, and runs one LPCNet train step
+with the batch sharded across processes — the gradient psum rides the
+distributed backend. Both processes must agree on the updated params.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2, process_id=int(sys.argv[2]))
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lpcnet_tpu.models import lpcnet
+from lpcnet_tpu.training import lpcnet_task
+
+cfg = lpcnet.LPCNetConfig(gru_a_units=32, gru_b_units=16, cond_size=16,
+                          embed_sig_size=8, embed_pitch_size=4,
+                          frame_size=40)
+params = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
+opt = lpcnet_task.make_optimizer()
+opt_state = opt.init(params)
+
+mesh = Mesh(np.array(jax.devices()), ("dp",))
+assert len(jax.devices()) == 2, jax.devices()
+rep = NamedSharding(mesh, P())
+sh = NamedSharding(mesh, P("dp"))
+
+B, T = 4, 2
+S = T * cfg.frame_size
+rs = np.random.RandomState(0)
+batch_np = {
+    "sig_in": rs.randn(B, S).astype(np.float32) * 1000,
+    "sig_out": rs.randn(B, S).astype(np.float32) * 1000,
+    "features": rs.randn(B, T + 4, 20).astype(np.float32) * 0.3,
+    "periods": rs.randint(33, 255, (B, T + 4)).astype(np.int32),
+    "lpc": rs.randn(B, T, 16).astype(np.float32) * 0.1,
+}
+params = jax.device_put(params, rep)
+opt_state = jax.device_put(opt_state, rep)
+pid = int(sys.argv[2])
+half = B // 2
+batch = {}
+for k, v in batch_np.items():
+    local = v[pid * half:(pid + 1) * half]
+    batch[k] = jax.make_array_from_single_device_arrays(
+        v.shape, sh,
+        [jax.device_put(local, jax.local_devices()[0])])
+rng = jax.device_put(jax.random.PRNGKey(1), rep)
+
+params, opt_state, metrics = lpcnet_task.train_step(
+    params, opt_state, batch, rng, cfg, opt)
+loss = float(metrics["loss"])
+digest = float(sum(jnp.sum(jnp.abs(l))
+                   for l in jax.tree.leaves(params)))
+print(f"RESULT {sys.argv[2]} {loss:.6f} {digest:.6f}", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("LPCNET_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_training_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.getcwd())
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        assert p.returncode == 0, err[-800:]
+        outs.append(out)
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, loss, digest = line.split()
+                results[pid] = (float(loss), float(digest))
+    assert set(results) == {"0", "1"}, results
+    # both processes computed the same global gradient step
+    assert results["0"] == results["1"], results
+    assert np.isfinite(results["0"][0])
