@@ -191,3 +191,88 @@ class TestPLCNetParity:
             outs.append(np.asarray(o[0]))
         d = np.abs(ref - np.stack(outs))
         assert d.max() < 1e-5, d.max()
+
+
+class TestPLCEngineBehavior:
+    """Full C PLC engine (lpcnet_plc.c causal, built by
+    tools/ref_plc/build_engine.sh) vs our batched PLCEngine on the same
+    loss trace and combined weight blob.
+
+    Pass-through behavior matches the C sample-exactly. Concealed and
+    blend frames differ by design (documented in plc.py: the C's
+    PLC_SKIP_UPDATES skips per-sample AR resync on good frames and
+    splits concealment 80/80 across old/new conditions; we always
+    teacher-force and conceal the full frame) — with random weights the
+    divergent AR states produce different, equally-valid concealment
+    audio."""
+
+    @pytest.fixture(scope="class")
+    def run(self, tmp_path_factory):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu.models import lpcnet, plc as pm
+        from lpcnet_tpu.plc import PLCEngine
+        from lpcnet_tpu.utils import export_ref
+        tmp = tmp_path_factory.mktemp("refplcengine")
+        build = subprocess.run(
+            ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
+             str(tmp)], capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+
+        cfg = lpcnet.LPCNetConfig(approx=True)
+        lp = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
+        pp = pm.init_params(jax.random.PRNGKey(1))
+        arrays = export_ref.export_lpcnet_arrays(
+            jax.tree.map(np.asarray, lp), cfg)
+        arrays.update(export_ref.export_plc_arrays(
+            jax.tree.map(np.asarray, pp)))
+        export_ref._write_blob(arrays, str(tmp / "w.bin"))
+
+        pcm = np.fromfile(os.path.join(GOLDEN, "speech.s16"),
+                          np.int16)[:16 * 160]
+        pcm.tofile(tmp / "in.pcm")
+        flags = [0, 0, 0, 0, 1, 0, 0, 0]     # packet 4 -> frames 8,9 lost
+        (tmp / "err.txt").write_text("\n".join(map(str, flags)))
+        r = subprocess.run(
+            [bin_path, "causal", str(tmp / "w.bin"), str(tmp / "err.txt"),
+             str(tmp / "in.pcm"), str(tmp / "ref.pcm")],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(tmp / "ref.pcm", np.int16).astype(int)
+
+        engine = PLCEngine(lp, pp, cfg)
+        state = engine.init_state(1)
+        outs = []
+        x = pcm.astype(np.float32)
+        for t in range(16):
+            lost = jnp.asarray([bool(flags[t // 2])])
+            fr = jnp.asarray(x[None, t * 160:(t + 1) * 160])
+            state, o = engine.step(state, fr, lost)
+            outs.append(np.asarray(o[0]))
+        ours = np.concatenate(outs).astype(int)
+        return ref, ours, pcm.astype(int)
+
+    def test_passthrough_frames_match_c_exactly(self, run):
+        ref, ours, pcm = run
+        good = list(range(0, 8)) + list(range(11, 16))
+        for t in good:
+            sl = slice(t * 160, (t + 1) * 160)
+            np.testing.assert_array_equal(ref[sl], ours[sl],
+                                          err_msg=f"frame {t}")
+            np.testing.assert_array_equal(ref[sl], pcm[sl],
+                                          err_msg=f"frame {t} vs input")
+
+    def test_concealment_is_synthesized_in_both(self, run):
+        ref, ours, pcm = run
+        for t in (8, 9):
+            sl = slice(t * 160, (t + 1) * 160)
+            assert np.abs(ref[sl] - pcm[sl]).mean() > 100   # C concealed
+            assert np.abs(ours[sl] - pcm[sl]).mean() > 100  # we concealed
+
+    def test_blend_second_half_is_input(self, run):
+        ref, ours, pcm = run
+        sl = slice(10 * 160 + 80, 11 * 160)
+        np.testing.assert_array_equal(ref[sl], pcm[sl])
+        np.testing.assert_array_equal(ours[sl], pcm[sl])

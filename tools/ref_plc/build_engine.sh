@@ -1,0 +1,20 @@
+#!/bin/sh
+# Build the FULL reference PLC engine (causal modes) against a combined
+# LPCNet+PLC weight blob (export_lpcnet_blob + export_plc_blob arrays in
+# one file). Uses the real plc_data.h in this dir (include order puts it
+# before ref_synth's stub).
+set -e
+REF=${1:-/root/reference}
+HERE=$(dirname "$0")
+SYNTH=$(dirname "$HERE")/ref_synth
+OUT=${2:-$(mktemp -d)}
+gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE \
+  -I"$HERE" -I"$SYNTH" -I$REF/include -I$REF/src \
+  $REF/src/lpcnet_plc.c $REF/src/lpcnet.c $REF/src/lpcnet_enc.c \
+  $REF/src/nnet.c $REF/src/freq.c $REF/src/kiss_fft.c $REF/src/pitch.c \
+  $REF/src/burg.c $REF/src/common.c $REF/src/kiss99.c \
+  $REF/src/parse_lpcnet_weights.c $REF/src/lpcnet_tables.c \
+  "$SYNTH"/nnet_data.c "$SYNTH"/stubs.c "$HERE"/codebook_stubs.c "$HERE"/plc_init.c \
+  "$HERE"/engine_main.c -lm -o "$OUT"/ref_plc_engine \
+  2>&1 | grep -v warning || true
+echo "$OUT"/ref_plc_engine
