@@ -72,8 +72,11 @@ def main():
     }
     if multi:
         n_dev = len(jax.devices())
+        per_device = rt_factor / n_dev
+        # the >=300x target is per chip: compare per-device, not aggregate
         result.update(metric="synthesis_rt_factor_total", devices=n_dev,
-                      per_device=round(rt_factor / n_dev, 2))
+                      per_device=round(per_device, 2),
+                      vs_baseline=round(per_device, 2))
     print(json.dumps(result))
 
 

@@ -315,16 +315,28 @@ def cmd_plc_test(args) -> int:
 
 def _hp_biquad(x: np.ndarray) -> np.ndarray:
     """DC-blocking high-pass applied to all dump_data input
-    (dump_data.c:114-115,258: b={-2,1}, a={-1.99599,.996}, float64 accum)."""
+    (dump_data.c:114-115,258: b={-2,1}, a={-1.99599,.996}, float64 accum).
+    Native (C++) when available; the Python fallback is per-sample and
+    only acceptable for short test files."""
+    import ctypes
+
+    from .utils import native
+    lib = native.get_lib()
+    x = np.ascontiguousarray(x, np.float32)
+    if lib is not None:
+        y = np.empty_like(x)
+        lib.dp_hp_biquad(y.ctypes.data_as(ctypes.c_void_p),
+                         x.ctypes.data_as(ctypes.c_void_p), len(x))
+        return y
     b = (-2.0, 1.0)
     a = (-1.99599, 0.99600)
     y = np.empty_like(x, np.float32)
     m0 = m1 = 0.0
     for i in range(len(x)):
         xi = float(x[i])
-        yi = xi + m0
-        m0 = m1 + (b[0] * xi - a[0] * yi)
-        m1 = b[1] * xi - a[1] * yi
+        yi = np.float32(xi + m0)
+        m0 = m1 + np.float32(b[0] * xi - a[0] * yi)
+        m1 = np.float32(b[1] * xi - a[1] * yi)
         y[i] = yi
     return y
 
@@ -513,12 +525,22 @@ def cmd_train_plc(args) -> int:
     from .training import plc_task
     from .utils import checkpoint
 
-    width = 2 * NB_BANDS + NB_FEATURES
+    width = 2 * NB_BANDS + NB_FEATURES           # 56
+    btrain_w = 2 * NB_BANDS + NB_TOTAL_FEATURES  # 72
     raw = np.fromfile(args.features, np.float32)
-    if raw.size % (2 * NB_BANDS + NB_TOTAL_FEATURES) == 0:
+    div72, div56 = raw.size % btrain_w == 0, raw.size % width == 0
+    fmt = args.feature_width
+    if fmt == "auto":
+        if div72 and div56:
+            print(f"error: {args.features}: size {raw.size} is divisible "
+                  f"by both 72 (btrain) and 56 — pass --feature-width",
+                  file=sys.stderr)
+            return 1
+        fmt = "72" if div72 else "56"
+    if fmt == "72":
         # dump-data btrain layout [burg36|feat36]: keep burg36 + feat20
         # (train_plc.py:246-260)
-        feats = raw.reshape(-1, 2 * NB_BANDS + NB_TOTAL_FEATURES)[:, :width]
+        feats = raw.reshape(-1, btrain_w)[:, :width]
     else:
         feats = raw.reshape(-1, width)
     if args.loss_traces:
@@ -807,6 +829,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--loss-traces", default=None,
                    help="text file of 0/1 flags (1 = received)")
     s.add_argument("--seq-len", type=int, default=1000)
+    s.add_argument("--feature-width", default="auto",
+                   choices=["auto", "56", "72"],
+                   help="56 = [burg36|feat20], 72 = dump-data btrain "
+                        "[burg36|feat36]; auto errors when ambiguous")
     s.set_defaults(fn=cmd_train_plc)
 
     s = sub.add_parser("train-rdovae", help="train the DRED RDO-VAE")

@@ -118,7 +118,7 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
     # distorts features, so we spell out the internal call here.
     state = F.init_state(1)
     xj = jnp.asarray(x[None])
-    state, feats, _ = _features_of_preemphasized(state, xj)
+    (state, feats, _), z = _features_of_preemphasized(state, xj)
     feats = np.asarray(feats[0])
     # PCM delayed by TRAINING_OFFSET (dump_data.c:273-274)
     pcm_del = np.zeros(S, np.float32)
@@ -130,8 +130,6 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
         import jax
 
         from .ops import burg as burg_ops
-        from .ops import dsp
-        z, _ = dsp.deemphasis_scan(xj, jnp.zeros(1))
         frames = z[0, :T * FRAME_SIZE].reshape(T, FRAME_SIZE)
         burg36 = np.asarray(
             jax.jit(burg_ops.burg_cepstral_analysis)(frames))
@@ -143,12 +141,14 @@ def _features_of_preemphasized(state, pcm):
     """Feature extraction for a signal that is ALREADY pre-emphasized (the
     augmenter applies pre-emphasis like dump_data.c:271, but
     compute_features applies its own). De-emphasize first; pre-emphasis and
-    de-emphasis are exact float32 inverses to ~1e-3."""
+    de-emphasis are exact float32 inverses to ~1e-3. Returns
+    (compute_features result, deemphasized signal) — callers reuse z
+    rather than re-running the sequential scan."""
     import jax.numpy as jnp
 
     from .ops import dsp
     z, _ = dsp.deemphasis_scan(pcm, jnp.zeros(pcm.shape[0]))
-    return F.compute_features(state, z)
+    return F.compute_features(state, z), z
 
 
 def window_batches(features: np.ndarray, data: np.ndarray,

@@ -426,11 +426,9 @@ class NonCausalPLCEngine:
         synthG, _ = sample_scan.synth_samples(
             self.tables, synth, condG, cfg, FRAME_SIZE, target=delayed)
 
-        # update-path results
-        out_upd = jnp.where(was_lost[:, None],
-                            jnp.concatenate([buf_b[:, off:], pcm[:, :off]],
-                                            axis=-1),
-                            delayed)
+        # update-path results (blend output IS the queued catch-up buffer,
+        # lpcnet_plc.c:415-418,441-444)
+        out_upd = jnp.where(was_lost[:, None], queued_b, delayed)
         buf_upd = pcm
         synth_upd = self._sel(was_lost, synth, synthG)   # blend keeps copy
         fnet_upd = self._sel(was_lost, fnet, fnetG)

@@ -118,6 +118,15 @@ extern "C" {
 void* dp_augment_create(uint64_t seed) { return new AugmentState(seed); }
 void dp_augment_destroy(void* st) { delete static_cast<AugmentState*>(st); }
 
+// Standalone DC-blocking high-pass over n samples (dump_data.c:114-115,258)
+// for the clean -test/-btest feature path (no augmentation).
+void dp_hp_biquad(float* y, const float* x, int n) {
+  static const float a_hp[2] = {-1.99599f, 0.99600f};
+  static const float b_hp[2] = {-2.f, 1.f};
+  float mem[2] = {0.f, 0.f};
+  biquad(y, mem, x, b_hp, a_hp, n);
+}
+
 // Augment n_frames*160 samples in place: HP biquad + random-response biquad
 // + gain ramp + pre-emphasis + dither (dump_data.c:245-272). Also fills
 // noise[] with per-sample mu-law-domain noise (compute_noise,
