@@ -106,20 +106,25 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
     T = S // FRAME_SIZE // 4 * 4
     S = T * FRAME_SIZE
     x, noise = x[:S], noise[:S]
-    # features from the augmented + preemphasized signal: feature extraction
-    # applies its own preemphasis, so feed the pre-preemphasis inverse...
-    # dump_data computes features on the preemphasized x directly via
-    # compute_frame_features; our compute_features() includes preemphasis,
-    # so we bypass it by passing a state whose filter is disabled. Simpler:
-    # deemphasize is lossy; instead call the internal path with preemph
-    # already applied by the augmenter. We reuse compute_features with a
-    # pre-inverted filter-free path by passing the signal through a custom
-    # state: the first-order preemphasis of an already-preemphasized signal
-    # distorts features, so we spell out the internal call here.
+    # deemphasize once (the augmenter pre-emphasized like dump_data.c:271;
+    # compute_features applies its own pre-emphasis), then extract features
+    # in bounded chunks: compute_features Python-unrolls its per-superframe
+    # pitch loop, so one whole-corpus call would build a graph with T/4
+    # unrolled iterations
+    import jax
+
+    from .ops import dsp
     state = F.init_state(1)
     xj = jnp.asarray(x[None])
-    (state, feats, _), z = _features_of_preemphasized(state, xj)
-    feats = np.asarray(feats[0])
+    z, _ = dsp.deemphasis_scan(xj, jnp.zeros(1))
+    chunk = 256
+    feat_parts = []
+    step_fn = jax.jit(lambda s, p: F.compute_features(s, p)[:2])
+    for t0 in range(0, T, chunk):
+        t1 = min(T, t0 + chunk)
+        state, f = step_fn(state, z[:, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+        feat_parts.append(np.asarray(f[0]))
+    feats = np.concatenate(feat_parts)
     # PCM delayed by TRAINING_OFFSET (dump_data.c:273-274)
     pcm_del = np.zeros(S, np.float32)
     pcm_del[TRAINING_OFFSET:] = x[:S - TRAINING_OFFSET]
@@ -135,20 +140,6 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
             jax.jit(burg_ops.burg_cepstral_analysis)(frames))
         return feats, data, burg36
     return feats, data
-
-
-def _features_of_preemphasized(state, pcm):
-    """Feature extraction for a signal that is ALREADY pre-emphasized (the
-    augmenter applies pre-emphasis like dump_data.c:271, but
-    compute_features applies its own). De-emphasize first; pre-emphasis and
-    de-emphasis are exact float32 inverses to ~1e-3. Returns
-    (compute_features result, deemphasized signal) — callers reuse z
-    rather than re-running the sequential scan."""
-    import jax.numpy as jnp
-
-    from .ops import dsp
-    z, _ = dsp.deemphasis_scan(pcm, jnp.zeros(pcm.shape[0]))
-    return F.compute_features(state, z), z
 
 
 def window_batches(features: np.ndarray, data: np.ndarray,

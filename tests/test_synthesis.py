@@ -184,3 +184,34 @@ class TestConvStreamingEquivalence:
         np.testing.assert_allclose(np.asarray(stream[:, 1:]),
                                    np.asarray(full[:, :-1]), rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestDemoCheckpoint:
+    """The committed end-to-end-trained demo checkpoint must load and
+    synthesize pitch-periodic audio (examples/README.md)."""
+
+    def test_demo_checkpoint_synthesis(self):
+        import os
+        import jax
+        import numpy as np
+        from lpcnet_tpu.models import lpcnet
+        from lpcnet_tpu.utils import weights_io
+        from lpcnet_tpu.vocoder import Synthesizer
+        path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "demo_lpcnet_params.bin")
+        params = weights_io.load_params(path)
+        cfg = lpcnet.LPCNetConfig()
+        voc = Synthesizer(cfg, params=jax.tree.map(jnp.asarray, params),
+                          backend="scan")
+        T = 12
+        feats = np.zeros((1, T, 36), np.float32)
+        feats[..., 0] = 1.5                       # energetic
+        feats[:, :, 18] = 0.02 * (16000 / 140 - 100)   # pitch ~140 Hz
+        feats[:, :, 19] = 0.4                     # voiced
+        state = voc.reset(1)
+        state, pcm = voc.synthesize(state, jnp.asarray(feats))
+        y = np.asarray(pcm[0])[4 * 160:]
+        lag = int(16000 / 140)
+        ac = float(np.corrcoef(y[:-lag], y[lag:])[0, 1])
+        assert ac > 0.1, ac                      # periodic at the cond pitch
+        assert 20 < np.sqrt((y ** 2).mean()) < 20000
