@@ -311,6 +311,20 @@ def cmd_plc_test(args) -> int:
     return 0
 
 
+def cmd_addlpc(args) -> int:
+    """Recompute the LPC tail of a feature file from its cepstra
+    (lpcnet_demo -addlpc, src/lpcnet_demo.c:250-259)."""
+    import jax
+    import jax.numpy as jnp
+    from .ops import dsp
+    feats = read_features(args.input)
+    lpc, _ = jax.jit(dsp.lpc_from_cepstrum)(jnp.asarray(feats[:, :NB_BANDS]))
+    feats[:, NB_BANDS + 2:] = np.asarray(lpc)
+    feats.astype(np.float32).tofile(args.output)
+    print(f"rewrote LPC for {feats.shape[0]} frames -> {args.output}")
+    return 0
+
+
 # -------------------------------------------------------------- dump-data
 
 def _hp_biquad(x: np.ndarray) -> np.ndarray:
@@ -347,21 +361,39 @@ def cmd_dump_data(args) -> int:
     test   = clean features only
     btrain = train + per-frame Burg cepstra interleaved [burg36|feat36]
              (the -btrain PLC training format, dump_data.c:145-150,266-270)
-    btest  = clean [burg36|feat36] frames, no augmentation"""
+    btest  = clean [burg36|feat36] frames, no augmentation
+    qtrain/qtest = train/test with features quantized through the codec
+             (dump_data.c:154-161), so models train on decoder-side
+             conditioning; pass --codebooks for trained codebooks"""
+    import jax
     import jax.numpy as jnp
     from . import data as D
     from . import features as F
     from .ops import burg as burg_ops
     pcm = read_pcm(args.input)
-    if args.mode in ("test", "btest"):
+    cbs = _load_codebooks(args.codebooks) \
+        if args.mode in ("qtrain", "qtest") else None
+    if args.mode in ("test", "btest", "qtest"):
+        from .codec import codec
         pcm = _hp_biquad(pcm)
         T = len(pcm) // FRAME_SIZE // 4 * 4
         state = F.init_state(1)
         outs = []
+        if cbs is not None:
+            enc_fn = jax.jit(lambda f4, m, sp: codec.encode_superframe(
+                cbs, f4, m, sp))
+            vq_mem = jnp.zeros((1, NB_BANDS))
         for t0 in range(0, T, CHUNK_FRAMES):
             t1 = min(T, t0 + CHUNK_FRAMES)
             x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
-            state, feats, _ = F.compute_features(state, x)
+            state, feats, sps = F.compute_features(
+                state, x, quantize_pitch=cbs is not None)
+            if cbs is not None:
+                for g in range((t1 - t0) // 4):
+                    _, fq, vq_mem = enc_fn(feats[:, 4 * g:4 * (g + 1)],
+                                           vq_mem, sps[g])
+                    feats = jax.lax.dynamic_update_slice(
+                        feats, fq, (0, 4 * g, 0))
             f = np.asarray(feats[0])
             if args.mode == "btest":
                 import jax
@@ -388,7 +420,8 @@ def cmd_dump_data(args) -> int:
                 pcm, seed=args.seed + p, include_burg=True)
             feats = np.concatenate([burg36, feats], axis=-1)
         else:
-            feats, data = D.prepare_training_data(pcm, seed=args.seed + p)
+            feats, data = D.prepare_training_data(
+                pcm, seed=args.seed + p, quantize_codebooks=cbs)
         feats_all.append(feats)
         data_all.append(data)
     allf = np.concatenate(feats_all).astype(np.float32)
@@ -782,13 +815,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_plc_test)
 
     s = sub.add_parser("dump-data", help="training/test data prep")
-    s.add_argument("mode", choices=["train", "test", "btrain", "btest"])
+    s.add_argument("mode", choices=["train", "test", "btrain", "btest",
+                                    "qtrain", "qtest"])
     s.add_argument("input")
     s.add_argument("features")
     s.add_argument("data", nargs="?", default=None)
     s.add_argument("--passes", type=int, default=1)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--codebooks", default=None,
+                   help="trained codec codebooks for qtrain/qtest")
     s.set_defaults(fn=cmd_dump_data)
+
+    s = sub.add_parser("addlpc",
+                       help="recompute LPC tail of a feature file")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_addlpc)
 
     s = sub.add_parser("dump-weights-blob",
                        help="bundle checkpoints into one DNNw blob")

@@ -90,7 +90,8 @@ def build_pairs(pcm: np.ndarray, lpc: np.ndarray, noise: np.ndarray
 
 def prepare_training_data(pcm: np.ndarray, seed: int = 0,
                           batch_streams: int = 8,
-                          include_burg: bool = False):
+                          include_burg: bool = False,
+                          quantize_codebooks=None):
     """Full pipeline: raw int16 speech -> (features (T, 36), data (S, 2)).
 
     Applies augmentation, extracts features (batched in JAX), shifts the
@@ -99,7 +100,12 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
 
     include_burg: also return per-frame Burg cepstra (T, 36) of the
     pre-preemphasis signal (dump_data.c:266-270, the -btrain mode);
-    features then interleave as [burg36 | feat36] for PLC training."""
+    features then interleave as [burg36 | feat36] for PLC training.
+
+    quantize_codebooks: codec codebook dict — quantize features through
+    the 1.6 kb/s codec before writing/pair-building (the -qtrain mode,
+    dump_data.c:154-157 + process_superframe quantize=1), so models
+    train on exactly what the decoder will condition on."""
     import jax.numpy as jnp
     x, noise = augment(pcm, seed)
     S = len(x)
@@ -119,10 +125,23 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
     z, _ = dsp.deemphasis_scan(xj, jnp.zeros(1))
     chunk = 256
     feat_parts = []
-    step_fn = jax.jit(lambda s, p: F.compute_features(s, p)[:2])
+    quant = quantize_codebooks is not None
+    step_fn = jax.jit(
+        lambda s, p: F.compute_features(s, p, quantize_pitch=quant))
+    if quant:
+        from .codec import codec
+        enc_fn = jax.jit(lambda f4, m, sp: codec.encode_superframe(
+            quantize_codebooks, f4, m, sp))
+        vq_mem = jnp.zeros((1, 18))
     for t0 in range(0, T, chunk):
         t1 = min(T, t0 + chunk)
-        state, f = step_fn(state, z[:, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+        state, f, sps = step_fn(state,
+                                z[:, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+        if quant:
+            for g in range((t1 - t0) // 4):
+                _, fq, vq_mem = enc_fn(f[:, 4 * g:4 * (g + 1)], vq_mem,
+                                       sps[g])
+                f = jax.lax.dynamic_update_slice(f, fq, (0, 4 * g, 0))
         feat_parts.append(np.asarray(f[0]))
     feats = np.concatenate(feat_parts)
     # PCM delayed by TRAINING_OFFSET (dump_data.c:273-274)

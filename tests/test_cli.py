@@ -177,3 +177,29 @@ class TestWeightsBlob:
         run(["dump-weights-blob", out, f"plc={ck}"])
         blob = weights_io.read_blob(str(out))
         assert len(blob) > 3
+
+    def test_dump_data_qtrain_qtest(self, tmp_path):
+        """Quantized-feature data prep (-qtrain/-qtest,
+        dump_data.c:154-161): features pass through the codec so models
+        train on decoder-side conditioning."""
+        make_pcm(tmp_path / "in.pcm", n_frames=8)
+        run(["dump-data", "qtest", tmp_path / "in.pcm", tmp_path / "q.f32"])
+        run(["dump-data", "test", tmp_path / "in.pcm", tmp_path / "u.f32"])
+        q = np.fromfile(tmp_path / "q.f32", np.float32).reshape(-1, 36)
+        u = np.fromfile(tmp_path / "u.f32", np.float32).reshape(-1, 36)
+        assert q.shape == u.shape and np.isfinite(q).all()
+        assert not np.allclose(q[:, :18], u[:, :18])   # quantized
+        make_pcm(tmp_path / "tr.pcm", n_frames=40)
+        run(["dump-data", "qtrain", tmp_path / "tr.pcm",
+             tmp_path / "qf.f32", tmp_path / "qd.s16"])
+        assert np.fromfile(tmp_path / "qd.s16", np.int16).size == 2 * 40 * 160
+
+    def test_addlpc(self, tmp_path):
+        make_pcm(tmp_path / "in.pcm")
+        run(["features", tmp_path / "in.pcm", tmp_path / "f.f32"])
+        run(["addlpc", tmp_path / "f.f32", tmp_path / "fl.f32"])
+        a = np.fromfile(tmp_path / "f.f32", np.float32).reshape(-1, 36)
+        b = np.fromfile(tmp_path / "fl.f32", np.float32).reshape(-1, 36)
+        np.testing.assert_allclose(a[:, :20], b[:, :20])
+        # recomputed LPC matches the extractor's own (same formula)
+        np.testing.assert_allclose(a[:, 22:], b[:, 22:], atol=1e-5)
