@@ -276,3 +276,49 @@ class TestPLCEngineBehavior:
         sl = slice(10 * 160 + 80, 11 * 160)
         np.testing.assert_array_equal(ref[sl], pcm[sl])
         np.testing.assert_array_equal(ours[sl], pcm[sl])
+
+
+class TestE2EWaveformParity:
+    """END2END (rc2lpc) model variant vs the reference C built with the
+    e2e flavor (build.sh '... e2e'): measured 99.3% bit-identical
+    samples. rc2lpc pole positions amplify rounding flips slightly more
+    than the cepstral-LPC path, hence the looser correlation bound."""
+
+    def test_e2e_matches(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.models import lpcnet
+        from lpcnet_tpu.utils import export_ref
+        from lpcnet_tpu.vocoder import Synthesizer
+        build = subprocess.run(
+            ["bash", "tools/ref_synth/build.sh", "/root/reference",
+             str(tmp_path), "e2e"], capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+        cfg = lpcnet.LPCNetConfig(approx=True, e2e=True)
+        params = lpcnet.init_params(jax.random.PRNGKey(3), cfg)
+        export_ref.export_lpcnet_blob(
+            jax.tree.map(np.asarray, params), cfg, str(tmp_path / "w.bin"))
+        pcm = np.fromfile(os.path.join(GOLDEN, "speech.s16"),
+                          np.int16).astype(np.float32)
+        T = min(60, len(pcm) // 160 // 4 * 4)
+        st = F.init_state(1)
+        st, feats, _ = F.compute_features(
+            st, jnp.asarray(pcm[None, :T * 160]))
+        np.asarray(feats[0], np.float32).tofile(tmp_path / "f.f32")
+        r = subprocess.run([bin_path, str(tmp_path / "w.bin"),
+                            str(tmp_path / "f.f32"),
+                            str(tmp_path / "ref.pcm")],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(tmp_path / "ref.pcm", np.int16).astype(int)
+        voc = Synthesizer(cfg, params=params, backend="scan")
+        sstate = voc.reset_streaming(1)
+        _, ours = voc.synthesize_streaming(sstate, feats)
+        ours = np.asarray(ours[0]).astype(int)
+        n = min(len(ref), len(ours))
+        d = np.abs(ref[:n] - ours[:n])
+        assert (d == 0).mean() > 0.9
+        assert float(np.corrcoef(ref[:n], ours[:n])[0, 1]) > 0.99

@@ -5,7 +5,9 @@ set -e
 REF=${1:-/root/reference}
 HERE=$(dirname "$0")
 OUT=${2:-$(mktemp -d)}
-gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE \
+E2E=""
+if [ "${3:-}" = "e2e" ]; then E2E="-DFORCE_END2END"; fi
+gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE $E2E \
   -I"$HERE" -I$REF/include -I$REF/src \
   $REF/src/lpcnet.c $REF/src/nnet.c $REF/src/freq.c $REF/src/kiss_fft.c \
   $REF/src/pitch.c $REF/src/burg.c $REF/src/kiss99.c $REF/src/parse_lpcnet_weights.c \

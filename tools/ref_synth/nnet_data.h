@@ -7,8 +7,11 @@
 
 #include "nnet.h"
 
-/* This is *not* an end-to-end model */
-/* #define END2END */
+/* non-e2e by default; build.sh '... e2e' selects the rc2lpc variant
+   (dump_lpcnet.py emits #define END2END for e2e models) */
+#ifdef FORCE_END2END
+#define END2END
+#endif
 
 #define LPC_GAMMA 1.0f
 #define FEATURES_DELAY 2
