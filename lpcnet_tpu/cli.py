@@ -487,6 +487,18 @@ def _ckpt_path(outdir: str, epoch: int) -> str:
     return os.path.join(outdir, f"ckpt_{epoch:03d}.bin")
 
 
+def _log_metrics(outdir: str, record: dict) -> None:
+    """Structured per-epoch metrics (<outdir>/metrics.jsonl) — the
+    observability layer the reference delegates to TensorBoard callbacks
+    (SURVEY.md section 5)."""
+    import json
+    import time as _time
+    os.makedirs(outdir, exist_ok=True)
+    record = dict(record, time=round(_time.time(), 3))
+    with open(os.path.join(outdir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
 def cmd_train_lpcnet(args) -> int:
     """LPCNet trainer (training_tf2/train_lpcnet.py): teacher-forced CE,
     sparsify/quantize schedules, per-epoch checkpoints, resume."""
@@ -544,6 +556,11 @@ def cmd_train_lpcnet(args) -> int:
         ck = _ckpt_path(args.outdir, epoch)
         checkpoint.save_training(ck, params, opt_state, step,
                                  {"epoch": epoch, "cfg": "lpcnet"})
+        _log_metrics(args.outdir, {"task": "lpcnet", "epoch": epoch,
+                                   "step": step, "steps": n,
+                                   "loss": round(tot / max(1, n), 6),
+                                   "wall_s": round(time.perf_counter() - t0,
+                                                   2)})
         print(f"epoch {epoch}: {n} steps, loss {tot / max(1, n):.4f}, "
               f"{time.perf_counter() - t0:.1f}s -> {ck}")
     return 0
@@ -617,6 +634,9 @@ def cmd_train_plc(args) -> int:
         ck = _ckpt_path(args.outdir, epoch)
         checkpoint.save_training(ck, params, opt_state, step,
                                  {"epoch": epoch, "cfg": "plc"})
+        _log_metrics(args.outdir, {"task": "plc", "epoch": epoch,
+                                   "step": step, "steps": n,
+                                   "loss": round(tot / max(1, n), 6)})
         print(f"epoch {epoch}: {n} steps, loss {tot / max(1, n):.4f} "
               f"-> {ck}")
     return 0
@@ -663,6 +683,9 @@ def cmd_train_rdovae(args) -> int:
         ck = _ckpt_path(args.outdir, epoch)
         checkpoint.save_training(ck, params, opt_state, step,
                                  {"epoch": epoch, "cfg": "rdovae"})
+        _log_metrics(args.outdir, {"task": "rdovae", "epoch": epoch,
+                                   "step": step, "steps": n,
+                                   "loss": round(tot / max(1, n), 6)})
         print(f"epoch {epoch}: {n} steps, loss {tot / max(1, n):.4f} "
               f"-> {ck}")
     return 0
