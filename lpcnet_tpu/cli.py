@@ -150,7 +150,7 @@ def cmd_synthesis(args) -> int:
     write_pcm(args.output, pcm)
     rt = (T * FRAME_SIZE / 16000.0) / max(t_synth, 1e-9)
     print(f"wrote {len(pcm)} samples -> {args.output} "
-          f"({rt:.1f}x realtime single-stream incl. dispatch)")
+          f"({rt:.2f}x realtime single-stream incl. dispatch)")
     return 0
 
 
@@ -516,14 +516,15 @@ def cmd_train_lpcnet(args) -> int:
     opt = lpcnet_task.make_optimizer(lr=args.lr, decay=args.decay)
     if args.resume:
         tpl = opt.init(lpcnet.init_params(jax.random.PRNGKey(0), cfg))
-        params, opt_state, step, _ = checkpoint.load_training(
+        params, opt_state, step, meta0 = checkpoint.load_training(
             args.resume, tpl)
+        epoch0 = int(meta0.get("epoch", -1)) + 1
     elif args.retrain:
         params = load_model_params(args.retrain, None)
-        opt_state, step = opt.init(params), 0
+        opt_state, step, epoch0 = opt.init(params), 0, 0
     else:
         params = lpcnet.init_params(jax.random.PRNGKey(args.seed), cfg)
-        opt_state, step = opt.init(params), 0
+        opt_state, step, epoch0 = opt.init(params), 0, 0
     # schedules: from-scratch vs quantize-finetune (train_lpcnet.py:303-317)
     if args.quantize:
         scfg = sparsify.SparsifyConfig(t_start=10000, t_end=30000,
@@ -536,7 +537,8 @@ def cmd_train_lpcnet(args) -> int:
                                        density=tuple(args.density),
                                        grub_density=tuple(args.grub_density))
     rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(args.epochs):
+    for ep in range(args.epochs):
+        epoch = epoch0 + ep
         t0 = time.perf_counter()
         n, tot = 0, 0.0
         for batch in D.window_batches(
@@ -602,16 +604,18 @@ def cmd_train_plc(args) -> int:
     opt = plc_task.make_optimizer(lr=args.lr)
     if args.resume:
         tpl = opt.init(plc_model.init_params(jax.random.PRNGKey(0), cfg))
-        params, opt_state, step, _ = checkpoint.load_training(
+        params, opt_state, step, meta0 = checkpoint.load_training(
             args.resume, tpl)
+        epoch0 = int(meta0.get("epoch", -1)) + 1
     else:
         params = plc_model.init_params(jax.random.PRNGKey(args.seed), cfg)
-        opt_state, step = opt.init(params), 0
+        opt_state, step, epoch0 = opt.init(params), 0, 0
     T = args.seq_len
     nseq = feats.shape[0] // T
     feats = feats[:nseq * T].reshape(nseq, T, width)
     rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(args.epochs):
+    for ep in range(args.epochs):
+        epoch = epoch0 + ep
         order = np.random.RandomState(args.seed + epoch).permutation(nseq)
         n, tot = 0, 0.0
         for b0 in range(0, nseq - args.batch_size + 1, args.batch_size):
@@ -656,16 +660,18 @@ def cmd_train_rdovae(args) -> int:
     opt = rdovae_task.make_optimizer(lr=args.lr)
     if args.resume:
         tpl = opt.init(rv.init_params(jax.random.PRNGKey(0), cfg))
-        params, opt_state, step, _ = checkpoint.load_training(
+        params, opt_state, step, meta0 = checkpoint.load_training(
             args.resume, tpl)
+        epoch0 = int(meta0.get("epoch", -1)) + 1
     else:
         params = rv.init_params(jax.random.PRNGKey(args.seed), cfg)
-        opt_state, step = opt.init(params), 0
+        opt_state, step, epoch0 = opt.init(params), 0, 0
     T = args.seq_len
     nseq = feats.shape[0] // T
     feats = feats[:nseq * T].reshape(nseq, T, NB_FEATURES)
     rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(args.epochs):
+    for ep in range(args.epochs):
+        epoch = epoch0 + ep
         order = np.random.RandomState(args.seed + epoch).permutation(nseq)
         n, tot = 0, 0.0
         for b0 in range(0, nseq - args.batch_size + 1, args.batch_size):
