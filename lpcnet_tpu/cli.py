@@ -93,6 +93,19 @@ def _jnp():
     return jnp
 
 
+def _pad_to_chunks(pcm: np.ndarray, frames: int,
+                   chunk_frames: int = CHUNK_FRAMES) -> np.ndarray:
+    """Zero-pad a sample stream so every feature-extraction call sees the
+    SAME jit shape (chunk_frames frames). Shape-varying trailing chunks
+    compile to different XLA fusions whose ~1-ulp feature wobble flips
+    near-tie VQ choices — fixed shapes make the streaming tools
+    chunk-invariant (byte-identical to a single-call encode)."""
+    total = -(-frames // chunk_frames) * chunk_frames * FRAME_SIZE
+    out = np.zeros(total, np.float32)
+    out[:frames * FRAME_SIZE] = pcm[:frames * FRAME_SIZE]
+    return out
+
+
 # --------------------------------------------------------------- features
 
 def cmd_features(args) -> int:
@@ -101,19 +114,16 @@ def cmd_features(args) -> int:
     from . import features as F
     pcm = read_pcm(args.input)
     T = len(pcm) // FRAME_SIZE // 4 * 4
-    pcm = pcm[:T * FRAME_SIZE]
+    pcm = _pad_to_chunks(pcm, T)
     state = F.init_state(1)
     out = []
     step = CHUNK_FRAMES
-    with open(args.output, "wb"):
-        pass
-    for t0 in range(0, T, step):
-        t1 = min(T, t0 + step)
-        x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+    for t0 in range(0, len(pcm) // FRAME_SIZE, step):
+        x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:(t0 + step) * FRAME_SIZE])
         state, feats, _ = F.compute_features(
             state, x, quantize_pitch=args.quantize_pitch)
         out.append(np.asarray(feats[0]))
-    allf = np.concatenate(out, axis=0).astype(np.float32)
+    allf = np.concatenate(out, axis=0)[:T].astype(np.float32)
     allf.tofile(args.output)
     print(f"wrote {allf.shape[0]} frames x {allf.shape[1]} -> {args.output}")
     return 0
@@ -174,7 +184,8 @@ def cmd_encode(args) -> int:
     from .codec import codec
     pcm = read_pcm(args.input)
     n_sf = len(pcm) // LPCNET_PACKET_SAMPLES
-    pcm = pcm[:n_sf * LPCNET_PACKET_SAMPLES]
+    # fixed-shape chunks -> chunk-invariant packets (see _pad_to_chunks)
+    pcm = _pad_to_chunks(pcm, n_sf * 4)
     cbs = _load_codebooks(args.codebooks)
     state = F.init_state(1)
     vq_mem = jnp.zeros((1, NB_BANDS))
@@ -183,12 +194,11 @@ def cmd_encode(args) -> int:
     enc_sf = jax.jit(lambda f, m, sp: codec.encode_superframe(
         cbs, f, m, sp))
     for g0 in range(0, n_sf, group):
-        g1 = min(n_sf, g0 + group)
         x = jnp.asarray(pcm[None, g0 * LPCNET_PACKET_SAMPLES:
-                            g1 * LPCNET_PACKET_SAMPLES])
+                            (g0 + group) * LPCNET_PACKET_SAMPLES])
         state, feats, sps = F.compute_features(state, x,
                                                quantize_pitch=True)
-        for i, g in enumerate(range(g0, g1)):
+        for i in range(min(group, n_sf - g0)):
             buf, _, vq_mem = enc_sf(feats[:, 4 * i:4 * (i + 1)], vq_mem,
                                     sps[i])
             bufs.append(np.asarray(buf[0], np.uint8))
@@ -248,8 +258,14 @@ def _read_loss_flags(spec: str, n_packets: int, seed: int = 0) -> np.ndarray:
     except ValueError:
         pass
     flags = np.loadtxt(spec, dtype=np.int64).reshape(-1)
-    reps = int(np.ceil(n_packets / max(1, len(flags))))
-    return np.tile(flags, reps)[:n_packets].astype(np.int32)
+    if len(flags) >= n_packets:
+        return flags[:n_packets].astype(np.int32)
+    # a short trace keeps its last value after EOF, matching the
+    # reference's fscanf loop (lpcnet_demo.c:236: loss is left unchanged
+    # when fscanf stops reading)
+    pad = np.full(n_packets - len(flags), flags[-1] if len(flags) else 0,
+                  np.int64)
+    return np.concatenate([flags, pad]).astype(np.int32)
 
 
 def cmd_plc(args) -> int:
@@ -284,6 +300,15 @@ def cmd_plc(args) -> int:
         fr = jnp.asarray(pcm[None, f * FRAME_SIZE:(f + 1) * FRAME_SIZE])
         state, out = engine.step(state, fr, lost)
         outs.append(np.asarray(out[0]))
+    if noncausal:
+        # sample-align output with input: drop the 80-sample engine delay
+        # and flush the delay line with one extra conceal step, matching
+        # the reference demo (lpcnet_demo.c:226 skip=extra=80, :245-248)
+        from .constants import TRAINING_OFFSET
+        zeros = jnp.zeros((1, FRAME_SIZE))
+        _, out = engine.step(state, zeros, jnp.asarray([True]))
+        outs.append(np.asarray(out[0, :TRAINING_OFFSET]))
+        outs[0] = outs[0][TRAINING_OFFSET:]
     write_pcm(args.output, np.concatenate(outs))
     print(f"processed {n_fr} frames, {int(flags.sum())} lost packets "
           f"-> {args.output}")
@@ -291,21 +316,24 @@ def cmd_plc(args) -> int:
 
 
 def cmd_plc_test(args) -> int:
-    """Offline PLC-network test: feature file with a loss column ->
-    reconstructed features, out = feat + (1-lost)*pred
-    (training_tf2/test_plc.py:110-119)."""
+    """Offline PLC-network test: feature file with a received column ->
+    reconstructed features, out = feat*received + (1-received)*pred.
+
+    Reference polarity (training_tf2/test_plc.py:104-117): the trailing
+    column is 1 where the frame was RECEIVED (despite being named `lost`
+    there — it multiplies the kept features)."""
     import jax.numpy as jnp
     from .models import plc as plc_model
-    width = 2 * NB_BANDS + NB_FEATURES + 1     # burg36 + feat20 + lost
+    width = 2 * NB_BANDS + NB_FEATURES + 1     # burg36 + feat20 + received
     data = read_features(args.input, width)
     pp = load_model_params(args.weights, plc_model.init_params, rng_seed=1)
     cfg = plc_model.PLCConfig()
-    lost = data[:, -1:]
+    received = data[:, -1:]
     inp = jnp.asarray(np.concatenate(
-        [data[:, :-1] * (1 - lost), 1 - lost], axis=-1)[None])
+        [data[:, :-1] * received, received], axis=-1)[None])
     pred = np.asarray(plc_model.forward_sequence(pp, inp, cfg)[0])
     feat = data[:, 2 * NB_BANDS:-1]
-    out = feat * (1 - lost) + pred * lost
+    out = feat * received + pred * (1 - received)
     out.astype(np.float32).tofile(args.output)
     print(f"wrote {out.shape[0]} reconstructed frames -> {args.output}")
     return 0
@@ -377,19 +405,25 @@ def cmd_dump_data(args) -> int:
         from .codec import codec
         pcm = _hp_biquad(pcm)
         T = len(pcm) // FRAME_SIZE // 4 * 4
+        # fixed-shape chunks -> chunk-count-invariant features
+        pcm = _pad_to_chunks(pcm, T)
         state = F.init_state(1)
         outs = []
         if cbs is not None:
             enc_fn = jax.jit(lambda f4, m, sp: codec.encode_superframe(
                 cbs, f4, m, sp))
             vq_mem = jnp.zeros((1, NB_BANDS))
-        for t0 in range(0, T, CHUNK_FRAMES):
-            t1 = min(T, t0 + CHUNK_FRAMES)
+        # test/btest mirror dump_data -test, which runs the per-frame
+        # pitch path (process_single_frame, dump_data.c:283); qtest runs
+        # the superframe quantize path (process_superframe, :288)
+        mode = "single" if cbs is None else "superframe"
+        for t0 in range(0, len(pcm) // FRAME_SIZE, CHUNK_FRAMES):
+            t1 = t0 + CHUNK_FRAMES
             x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
             state, feats, sps = F.compute_features(
-                state, x, quantize_pitch=cbs is not None)
+                state, x, quantize_pitch=cbs is not None, mode=mode)
             if cbs is not None:
-                for g in range((t1 - t0) // 4):
+                for g in range(min(CHUNK_FRAMES, T - t0) // 4):
                     _, fq, vq_mem = enc_fn(feats[:, 4 * g:4 * (g + 1)],
                                            vq_mem, sps[g])
                     feats = jax.lax.dynamic_update_slice(
@@ -405,7 +439,7 @@ def cmd_dump_data(args) -> int:
                     jnp.asarray(frames)))
                 f = np.concatenate([b36, f], axis=-1)
             outs.append(f)
-        allf = np.concatenate(outs).astype(np.float32)
+        allf = np.concatenate(outs)[:T].astype(np.float32)
         allf.tofile(args.features)
         print(f"wrote {T} x {allf.shape[1]} feature frames "
               f"-> {args.features}")
@@ -838,7 +872,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_plc)
 
     s = sub.add_parser("plc-test", help="offline PLC net feature test")
-    s.add_argument("input", help="f32 frames [burg36|feat20|lost]")
+    s.add_argument("input", help="f32 frames [burg36|feat20|received], "
+                                 "last column 1 = frame received")
     s.add_argument("output")
     s.add_argument("--weights", default=None)
     s.set_defaults(fn=cmd_plc_test)

@@ -1,16 +1,32 @@
 """VQ codebook training on TPU — replaces the reference's offline C tool
-(src/ceps_vq_train.c:338-431 vq_train/vq_train_multi).
+(src/ceps_vq_train.c).
+
+Covers all three trainer variants:
+  * vq_train        (ceps_vq_train.c:338-366)  -> kmeans
+  * vq_train_multi  (ceps_vq_train.c:368-403)  -> kmeans_multi
+  * vq_train_weighted (ceps_vq_train.c:406-431) -> kmeans_weighted
+
+and the full data recipe of its main() (ceps_vq_train.c:433-619):
+cb1/2/3 are a 3-stage residual cascade over EVERY frame's 17-dim cepstrum
+tail (COEF == 0, so stage-1 targets are the raw cepstra), and diff4 is a
+multi-predictor + sign codebook trained on 18-dim residuals of frame i+2
+against the *quantized* anchors i and i+4 (matching the deployed geometry:
+frame 1 predicted from vq_mem and frame 3, which are 4 frames apart).
 
 Split-VQ k-means: start from one centroid, double the codebook by
-perturbation, Lloyd-iterate. Assignment is one (N, D) x (D, K) distance
-matmul per iteration — the MXU does in milliseconds what the C tool grinds
-through in scalar loops.
+perturbation, Lloyd-iterate (4 per split + 20 final, the C's counts).
+Assignment is one (N, D) x (D, K) distance matmul per iteration — the MXU
+does in milliseconds what the C tool grinds through in scalar loops.
+Deliberate improvement over the C: empty cells are re-seeded from random
+data points instead of dividing by a zero count.
 """
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_ASSIGN_CHUNK = 8192   # bound N x K distance-matrix memory
 
 
 def _assign(x: jax.Array, cb: jax.Array) -> jax.Array:
@@ -19,18 +35,39 @@ def _assign(x: jax.Array, cb: jax.Array) -> jax.Array:
     return jnp.argmin(d, axis=-1)
 
 
-def _update(x: jax.Array, assign: jax.Array, k: int) -> jax.Array:
-    one_hot = jax.nn.one_hot(assign, k, dtype=x.dtype)      # (N, K)
-    counts = one_hot.sum(0)                                  # (K,)
-    sums = one_hot.T @ x                                     # (K, D)
+def _assign_chunked(x: jax.Array, cb: jax.Array) -> jax.Array:
+    """_assign with the (N, K) distance matrix built in bounded chunks."""
+    N = x.shape[0]
+    if N * cb.shape[0] <= _ASSIGN_CHUNK * 16384:
+        return _assign(x, cb)
+    pad = (-N) % _ASSIGN_CHUNK
+    xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(
+        -1, _ASSIGN_CHUNK, x.shape[-1])
+    out = jax.lax.map(lambda c: _assign(c, cb), xp)
+    return out.reshape(-1)[:N]
+
+
+def _update(x: jax.Array, assign: jax.Array, k: int):
+    sums = jax.ops.segment_sum(x, assign, num_segments=k)          # (K, D)
+    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), x.dtype),
+                                 assign, num_segments=k)           # (K,)
     return sums / jnp.maximum(counts, 1.0)[:, None], counts
 
 
-def kmeans(rng: jax.Array, x: jax.Array, k: int, iters: int = 12
-           ) -> jax.Array:
-    """Split-init k-means. x: (N, D) training vectors -> (k, D) codebook."""
+def _reseed_empty(rng: jax.Array, cb: jax.Array, counts: jax.Array,
+                  x: jax.Array) -> jax.Array:
+    repl = x[jax.random.randint(rng, (cb.shape[0],), 0, x.shape[0])]
+    return jnp.where((counts > 0)[:, None], cb, repl)
+
+
+def kmeans(rng: jax.Array, x: jax.Array, k: int, iters: int = 4,
+           final_iters: int = 20) -> jax.Array:
+    """Split-init k-means (vq_train, ceps_vq_train.c:338-366).
+    x: (N, D) training vectors -> (k, D) codebook. iters Lloyd passes per
+    split (C: 4) + final_iters at full size (C: 20)."""
     cb = jnp.mean(x, axis=0, keepdims=True)
     cur = 1
+    lloyd = jax.jit(lambda c, r: _lloyd_pass(c, r, x), donate_argnums=0)
     while cur < k:
         rng, sub = jax.random.split(rng)
         noise = 0.02 * jax.random.normal(sub, cb.shape) * \
@@ -38,74 +75,183 @@ def kmeans(rng: jax.Array, x: jax.Array, k: int, iters: int = 12
         cb = jnp.concatenate([cb - noise, cb + noise], axis=0)
         cur *= 2
         for _ in range(iters):
-            a = _assign(x, cb)
-            new_cb, counts = _update(x, a, cur)
-            # re-seed empty cells from random data points
             rng, sub = jax.random.split(rng)
-            repl = x[jax.random.randint(sub, (cur,), 0, x.shape[0])]
-            cb = jnp.where((counts > 0)[:, None], new_cb, repl)
+            cb = lloyd(cb, sub)
+    for _ in range(final_iters):
+        rng, sub = jax.random.split(rng)
+        cb = lloyd(cb, sub)
     return cb[:k]
 
 
-def kmeans_multi(rng: jax.Array, targets: jax.Array, k: int,
-                 iters: int = 12) -> jax.Array:
-    """Multi-predictor k-means (vq_train_multi semantics): entry i of the
-    codebook quantizes the residual of predictor i & 3.
+def _lloyd_pass(cb, rng, x):
+    a = _assign_chunked(x, cb)
+    new_cb, counts = _update(x, a, cb.shape[0])
+    return _reseed_empty(rng, new_cb, counts, x)
 
-    targets: (N, 4, D) residuals against the 4 predictors. Each codeword is
-    assigned to exactly one predictor by its index; training alternates
-    assignment (over all (entry) choices incl. sign) and means."""
+
+def kmeans_weighted(rng: jax.Array, x: jax.Array, w: jax.Array, k: int,
+                    iters: int = 4, final_iters: int = 20) -> jax.Array:
+    """Weighted split k-means (vq_train_weighted, ceps_vq_train.c:406-431).
+
+    w: (N, D) per-vector per-dimension weights. Assignment minimizes
+    sum_j w[n,j]*(x[n,j]-c[j])^2 (find_nearest_weighted, :92-108); the
+    update is the sqrt(w)-weighted mean (update_weighted, :285-318).
+    Init divergence (documented): the C grows the codebook one entry at a
+    time (split1); we split-double like the unweighted trainer — same
+    objective, better MXU shape."""
+    def assign_w(xc, wc):
+        # ||sqrt(w)*(x - c)||^2 = sum w x^2 - 2 (w x) . c + (w) . c^2
+        d = (jnp.sum(wc * xc * xc, -1, keepdims=True)
+             - 2 * (wc * xc) @ cb.T + wc @ (cb * cb).T)
+        return jnp.argmin(d, axis=-1)
+
+    cb = jnp.sum(x * 1.0, axis=0, keepdims=True) / x.shape[0]
+    cur = 1
+    sw = jnp.sqrt(w)
+    while cur < k:
+        rng, sub = jax.random.split(rng)
+        noise = 0.02 * jax.random.normal(sub, cb.shape) * \
+            jnp.std(x, axis=0)
+        cb = jnp.concatenate([cb - noise, cb + noise], axis=0)
+        cur *= 2
+        n_it = iters if cur < k else iters + final_iters
+        for _ in range(n_it):
+            a = assign_w(x, w)
+            num = jax.ops.segment_sum(sw * x, a, num_segments=cur)
+            den = jax.ops.segment_sum(sw, a, num_segments=cur)
+            new_cb = num / jnp.maximum(den, 1e-9)
+            rng, sub = jax.random.split(rng)
+            cb = _reseed_empty(sub, new_cb,
+                               jax.ops.segment_sum(
+                                   jnp.ones((x.shape[0],)), a,
+                                   num_segments=cur), x)
+    return cb[:k]
+
+
+def _assign_multi(targets: jax.Array, cb: jax.Array, sign: bool):
+    """Assignment for the multi-predictor codebook (find_nearest_multi,
+    ceps_vq_train.c:53-90): entry e quantizes the residual of predictor
+    e & 3; with sign, -codebook entries are also candidates.
+
+    targets: (N, 4, D); cb: (K, D) with K % 4 == 0.
+    Returns (entry (N,) int32 in [0, K) , sgn (N,) +-1).
+    Grouped per predictor so the distance work is 8 (N, K/4) matmuls
+    instead of an (N, K, D) broadcast — bounded memory, MXU-shaped."""
+    N, P, D = targets.shape
+    K = cb.shape[0]
+
+    def chunk_fn(tc):
+        best_d = jnp.full((tc.shape[0],), 1e15)
+        best_e = jnp.zeros((tc.shape[0],), jnp.int32)
+        best_s = jnp.ones((tc.shape[0],))
+        for p in range(P):
+            cbp = cb[p::P]                                   # (K/P, D)
+            t = tc[:, p, :]
+            t2 = jnp.sum(t * t, -1, keepdims=True)
+            c2 = jnp.sum(cbp * cbp, -1)
+            dots = t @ cbp.T
+            for s in (1.0, -1.0) if sign else (1.0,):
+                d = t2 - 2 * s * dots + c2
+                j = jnp.argmin(d, axis=-1)
+                dj = jnp.take_along_axis(d, j[:, None], -1)[:, 0]
+                upd = dj < best_d
+                best_d = jnp.where(upd, dj, best_d)
+                best_e = jnp.where(upd, (j * P + p).astype(jnp.int32),
+                                   best_e)
+                best_s = jnp.where(upd, s, best_s)
+        return best_e, best_s
+
+    pad = (-N) % _ASSIGN_CHUNK
+    if pad or N > _ASSIGN_CHUNK:
+        tp = jnp.pad(targets, ((0, pad), (0, 0), (0, 0))).reshape(
+            -1, _ASSIGN_CHUNK, P, D)
+        e, s = jax.lax.map(chunk_fn, tp)
+        return e.reshape(-1)[:N], s.reshape(-1)[:N]
+    return chunk_fn(targets)
+
+
+def kmeans_multi(rng: jax.Array, targets: jax.Array, k: int,
+                 iters: int = 4, final_iters: int = 20,
+                 sign: bool = True) -> jax.Array:
+    """Multi-predictor k-means (vq_train_multi, ceps_vq_train.c:368-403):
+    entry e of the codebook quantizes the residual of predictor e & 3,
+    optionally with a sign bit.
+
+    targets: (N, 4, D) residuals against the 4 predictors. Matches the C
+    structure: per-predictor mean init (+ jitter), 10 warm-up updates,
+    split-double to k with `iters` updates per split, final polish."""
     N, P, D = targets.shape
     rng, sub = jax.random.split(rng)
-    # init: per-predictor k-means of k//4 entries, interleaved by index
-    cb = jnp.zeros((k, D), targets.dtype)
-    for p in range(P):
-        sub_cb = kmeans(jax.random.fold_in(sub, p),
-                        targets[:, p, :], k // P, iters)
-        cb = cb.at[p::P].set(sub_cb)
-    # joint refinement with sign
-    for _ in range(iters):
-        pred_idx = jnp.arange(k) & (P - 1)
-        tpc = targets[:, pred_idx, :]                       # (N, K, D)
-        dp = jnp.sum((tpc - cb) ** 2, -1)
-        dn = jnp.sum((tpc + cb) ** 2, -1)
-        d = jnp.concatenate([dp, dn], -1)
-        e = jnp.argmin(d, axis=-1)
-        idx = e % k
-        s = jnp.where(e >= k, -1.0, 1.0)
-        signed_t = s[:, None] * jnp.take_along_axis(
-            targets, (idx & (P - 1))[:, None, None].repeat(D, -1),
-            axis=1)[:, 0]
-        one_hot = jax.nn.one_hot(idx, k, dtype=targets.dtype)
-        counts = one_hot.sum(0)
-        cb = jnp.where((counts > 0)[:, None],
-                       (one_hot.T @ signed_t)
-                       / jnp.maximum(counts, 1.0)[:, None], cb)
-    return cb
+    cb = jnp.mean(targets, axis=0) \
+        + 0.01 * (jax.random.uniform(sub, (P, D)) - 0.5)     # (4, D)
+    cur = P
+
+    def upd(cb_, rng_):
+        e, s = _assign_multi(targets, cb_, sign)
+        pred = e % P
+        t_sel = jnp.take_along_axis(
+            targets, pred[:, None, None].astype(jnp.int32)
+            .repeat(D, -1), axis=1)[:, 0]
+        signed_t = s[:, None] * t_sel
+        sums = jax.ops.segment_sum(signed_t, e, num_segments=cb_.shape[0])
+        counts = jax.ops.segment_sum(jnp.ones((N,)), e,
+                                     num_segments=cb_.shape[0])
+        new_cb = sums / jnp.maximum(counts, 1.0)[:, None]
+        # re-seed empty cells with the residual of their own predictor
+        rng_, sub_ = jax.random.split(rng_)
+        ridx = jax.random.randint(sub_, (cb_.shape[0],), 0, N)
+        repl = targets[ridx, jnp.arange(cb_.shape[0]) % P]
+        return jnp.where((counts > 0)[:, None], new_cb, repl)
+
+    upd_j = jax.jit(upd, donate_argnums=0)
+    for _ in range(10):
+        rng, sub = jax.random.split(rng)
+        cb = upd_j(cb, sub)
+    while cur < k:
+        rng, sub = jax.random.split(rng)
+        noise = 0.02 * jax.random.normal(sub, cb.shape) * \
+            jnp.std(targets.reshape(-1, D), axis=0)
+        cb = jnp.concatenate([cb - noise, cb + noise], axis=0)
+        cur *= 2
+        for _ in range(iters):
+            rng, sub = jax.random.split(rng)
+            cb = upd_j(cb, sub)
+    for _ in range(final_iters):
+        rng, sub = jax.random.split(rng)
+        cb = upd_j(cb, sub)
+    return cb[:k]
 
 
 def train_codec_codebooks(rng: jax.Array, feats: jax.Array,
-                          iters: int = 10) -> Dict[str, jax.Array]:
-    """Train the full codec codebook set from a feature corpus.
+                          iters: int = 4, final_iters: int = 20
+                          ) -> Dict[str, jax.Array]:
+    """Train the full codec codebook set from a feature corpus, following
+    the data recipe of ceps_vq_train.c main() (:433-619).
 
-    feats: (N, 36) feature frames (consecutive, N % 4 == 0), laid out as the
-    encoder sees them. Trains cb1/2/3 on frame-3 cepstrum tails (3-stage
-    residual) and diff4 on frame-1 prediction residuals, mirroring the data
-    recipe of ceps_vq_train.c:433-619."""
+    feats: (N, >=18) consecutive feature frames (only the first 18 cepstral
+    columns are used). Every frame is a stage-1 target (COEF == 0,
+    :476-481); diff4 targets are built from the *quantized* 3-stage
+    reconstructions (qdata, :490-538), matching what the decoder's
+    predictors will actually see."""
     from ..constants import NB_BANDS
-    f = feats[: feats.shape[0] // 4 * 4].reshape(-1, 4, feats.shape[-1])
+    data = feats[:, :NB_BANDS]
+    x = data[:, 1:]                                    # (N, 17)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
-    x3 = f[:, 3, 1:NB_BANDS]
-    cb1 = kmeans(k1, x3, 1024, iters)
-    r1 = x3 - cb1[_assign(x3, cb1)]
-    cb2 = kmeans(k2, r1, 1024, iters)
-    r2 = r1 - cb2[_assign(r1, cb2)]
-    cb3 = kmeans(k3, r2, 1024, iters)
-    # diff targets: frame 1 vs [avg, avg, left, right] of (prev f3, f3)
-    left = jnp.roll(f[:, 3, :NB_BANDS], 1, axis=0)
-    right = f[:, 3, :NB_BANDS]
-    x1 = f[:, 1, :NB_BANDS]
+    cb1 = kmeans(k1, x, 1024, iters, final_iters)
+    r1 = x - cb1[_assign_chunked(x, cb1)]
+    cb2 = kmeans(k2, r1, 1024, iters, final_iters)
+    r2 = r1 - cb2[_assign_chunked(r1, cb2)]
+    cb3 = kmeans(k3, r2, 1024, iters, final_iters)
+    r3 = r2 - cb3[_assign_chunked(r2, cb3)]
+    # qdata: c0 kept raw, tail = 3-stage reconstruction (:495-530)
+    qdata = jnp.concatenate([data[:, :1], x - r3], axis=-1)
+    # diff4 targets: frame i+2 vs quantized anchors i / i+4 (:533-546)
+    N = data.shape[0]
+    tgt = data[2:N - 2]                                 # frame i+2
+    left = qdata[: N - 4]
+    right = qdata[4:]
     avg = 0.5 * (left + right)
-    targets = jnp.stack([x1 - avg, x1 - avg, x1 - left, x1 - right], axis=1)
-    diff4 = kmeans_multi(k4, targets, 4096, iters)
+    targets = jnp.stack([tgt - avg, tgt - avg, tgt - left, tgt - right],
+                        axis=1)                         # (N-4, 4, 18)
+    diff4 = kmeans_multi(k4, targets, 4096, iters, final_iters, sign=True)
     return {"cb1": cb1, "cb2": cb2, "cb3": cb3, "diff4": diff4}

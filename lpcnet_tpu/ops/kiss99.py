@@ -2,7 +2,8 @@
 
 Stream-for-stream identical to the reference (src/kiss99.c:32-81). The
 synthesis sampler consumes exactly one 32-bit draw per sample (4 bytes -> 8
-threshold bytes, two bits each... see models/sampling.py), so reproducing this
+threshold bytes, two bits each... see kernels/sample_scan.py), so reproducing
+this
 stream is what makes deterministic, reference-matched waveforms possible.
 
 State is a (..., 4) uint32 array [z, w, jsr, jcong]; every function is

@@ -33,10 +33,17 @@ def save_training(path: str, params: Dict[str, Any], opt_state: Any,
     manifest["nopt"] = len(leaves)
     for i, leaf in enumerate(leaves):
         a = np.asarray(leaf)
-        if a.dtype == np.float64:
+        # canonicalize to the three blob dtypes (f32/i32/i8); reject the
+        # rest up front rather than KeyError deep in weights_io after a
+        # training run has been spent
+        if a.dtype in (np.float64, np.float16) or a.dtype.name == "bfloat16":
             a = a.astype(np.float32)
-        if a.dtype == np.int64:
+        elif a.dtype in (np.int64, np.int16, np.uint32, np.uint64, np.bool_):
             a = a.astype(np.int32)
+        if a.dtype not in (np.float32, np.int32, np.int8):
+            raise ValueError(
+                f"optimizer leaf {i} has unsupported dtype {a.dtype}; "
+                "cannot serialize to a DNNw training blob")
         arrays[f"o{i:04d}"] = a
     mjson = json.dumps(manifest).encode()
     arrays["__train_manifest__"] = np.frombuffer(mjson, np.int8).copy()

@@ -6,13 +6,11 @@ front-end, Viterbi pitch track, m-best VQ searches, predictive diff-VQ,
 interpolation search and bit packing all agree exactly. Thresholds below
 keep slack for near-tie flips on other inputs.
 
-Caveat (measured): byte-exactness holds when features are extracted in
-one call. The streaming CLI chunks the file (64 frames per call), and
-XLA's shape-dependent fusion wobbles features by ~1ulp, flipping VQ
-choices on near-ties: 42/50 packets byte-identical via the CLI, with
-pitch/energy fields still 100%. No float implementation is chunk-
-invariant here; the reference itself differs between its SSE and AVX
-builds the same way."""
+The streaming CLI is chunk-invariant: it pads every feature-extraction
+call to one fixed jit shape (cli._pad_to_chunks), so chunked encoding is
+byte-identical to a single-call encode — measured 50/50 packets (the
+round-1 shape-varying trailing chunk compiled to a different XLA fusion
+whose ~1-ulp feature wobble flipped near-tie VQ choices, 42/50)."""
 import os
 import subprocess
 
@@ -113,6 +111,20 @@ class TestCodecParity:
         ref, ours = packets
         frac = float((ref == ours).all(axis=1).mean())
         assert frac > 0.9, frac
+
+    def test_cli_streaming_chunk_invariant(self, packets, tmp_path):
+        """The chunked CLI encode (fixed 64-frame jit shapes, padded
+        trailing chunk) must be byte-identical to the single-call encode
+        above: 50/50 whole packets."""
+        from lpcnet_tpu import cli
+        _, ours = packets
+        out = tmp_path / "pkts.bin"
+        rc = cli.main(["encode", os.path.join(GOLDEN, "speech.s16"),
+                       str(out)])
+        assert rc == 0
+        cli_pkts = np.fromfile(out, np.uint8).reshape(-1, 8)[:len(ours)]
+        assert (cli_pkts == ours).all(), (
+            (cli_pkts == ours).all(axis=1).mean())
 
 
 class TestDecoderParity:

@@ -2,16 +2,21 @@
 
 tests/golden/ref_feats.f32 was produced by the reference's own dump_data
 binary (`./dump_data -test speech.s16 ref_feats.f32`), built from
-/root/reference sources with model-data stubs (tools/build_ref_dump_data.sh
-— the -test path never touches model weights).
+/root/reference sources with model-data stubs AND the +-0.5 input dither
+line stripped (tools/build_ref_dump_data.sh — the reference seeds that
+dither from the PID, dump_data.c:142,272, making its output
+nondeterministic; without it the binary is run-to-run deterministic and
+the parity contract can be asserted at the SURVEY Phase 1 ~1e-5 class).
+
+Measured on the golden speech file: pitch EXACT (integer path identical),
+cepstra mean |diff| 2.1e-6 / max 2.0e-5, corr mean 9.0e-7, LPC mean
+7.4e-7 — residuals are kiss_fft vs XLA rfft float rounding only.
 
 Alignment note (documented divergence): the reference's read loop
 processes each frame one iteration late — it assigns `x = tmp` (the
 PREVIOUS fread) before reading the next frame (dump_data.c:215-216), and
 tmp starts zero-filled (dump_data.c:129). So ref_feats[0] is the all-zeros
-warm-up frame and ref_feats[i+1] corresponds to our features[i]. Residual
-differences after shifting come from kiss_fft vs XLA rfft floats and the
-reference's +-0.5 input dither (dump_data.c:272).
+warm-up frame and ref_feats[i+1] corresponds to our features[i].
 """
 import os
 import subprocess
@@ -43,25 +48,25 @@ class TestReferenceFeatureParity:
     def test_cepstra(self, pair):
         ref, ours = pair
         d = np.abs(ref[:, :18] - ours[:, :18])
-        assert d.mean() < 0.02, d.mean()
-        assert d.max() < 0.6, d.max()     # dither-driven tail
+        assert d.mean() < 1e-4, d.mean()      # measured 2.1e-6
+        assert d.max() < 1e-3, d.max()        # measured 2.0e-5
 
-    def test_pitch_period(self, pair):
+    def test_pitch_period_exact(self, pair):
         ref, ours = pair
-        # feature 18 = 0.02*(period-100): mean within ~1 sample of period
+        # integer pitch path: bit-identical on the golden file
         d = np.abs(ref[:, 18] - ours[:, 18])
-        assert np.median(d) < 0.02, np.median(d)
-        assert d.mean() < 0.1, d.mean()
+        assert (d == 0).mean() > 0.99, (d != 0).sum()
+        assert d.mean() < 1e-3, d.mean()
 
     def test_pitch_corr(self, pair):
         ref, ours = pair
         d = np.abs(ref[:, 19] - ours[:, 19])
-        assert d.mean() < 0.05, d.mean()
+        assert d.mean() < 1e-4, d.mean()      # measured 9.0e-7
 
     def test_lpc(self, pair):
         ref, ours = pair
         d = np.abs(ref[:, 20:] - ours[:, 20:])
-        assert d.mean() < 0.02, d.mean()
+        assert d.mean() < 1e-4, d.mean()      # measured 7.4e-7
 
     def test_warmup_frame_is_silence(self):
         ref = np.fromfile(os.path.join(GOLDEN, "ref_feats.f32"),
