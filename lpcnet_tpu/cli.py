@@ -166,12 +166,28 @@ def cmd_synthesis(args) -> int:
 
 # ------------------------------------------------------------------ codec
 
+DEFAULT_CODEBOOKS = os.path.join(os.path.dirname(__file__), os.pardir,
+                                 "examples", "codec_codebooks.bin")
+
+
 def _load_codebooks(path: Optional[str]):
+    """Codec codebooks: --codebooks path, else the shipped trained set
+    (examples/codec_codebooks.bin — the equivalent of the reference's
+    downloaded ceps_codebooks.c), else random placeholders with a LOUD
+    warning (quantization through random codebooks is meaningless)."""
     import jax
     from .codec import codec
     from .utils import weights_io
     if path is None:
-        return codec.default_codebooks(jax.random.PRNGKey(0))
+        if os.path.exists(DEFAULT_CODEBOOKS):
+            path = DEFAULT_CODEBOOKS
+        else:
+            print("warning: no trained codec codebooks found "
+                  f"({DEFAULT_CODEBOOKS} missing) - using RANDOM "
+                  "placeholders; quantized output will be garbage. "
+                  "Train with `vq-train` or pass --codebooks.",
+                  file=sys.stderr)
+            return codec.default_codebooks(jax.random.PRNGKey(0))
     return {k: _jnp().asarray(v) for k, v in
             weights_io.load_params(path).items()}
 
@@ -273,7 +289,8 @@ def cmd_plc(args) -> int:
     (lpcnet_demo -plc_file, src/lpcnet_demo.c:220-249)."""
     import jax.numpy as jnp
     from .models import lpcnet, plc as plc_model
-    from .plc import NonCausalPLCEngine, PLCEngine, PLCOptions
+    from .plc import (NonCausalPLCEngine, PLCEngine, PLCOptions,
+                      StrictCausalPLCEngine)
     pcm = read_pcm(args.input)
     n_fr = len(pcm) // FRAME_SIZE // 2 * 2
     pcm = pcm[:n_fr * FRAME_SIZE]
@@ -288,7 +305,11 @@ def cmd_plc(args) -> int:
         pp = load_model_params(args.plc_weights, plc_model.init_params,
                                rng_seed=1)
     if noncausal:
-        engine = NonCausalPLCEngine(lp, pp, cfg)
+        engine = NonCausalPLCEngine(
+            lp, pp, cfg,
+            options=PLCOptions(remove_dc="dc" in args.options))
+    elif args.options == "strict":
+        engine = StrictCausalPLCEngine(lp, pp, cfg)
     else:
         engine = PLCEngine(lp, pp, cfg,
                            options=PLCOptions(
@@ -863,9 +884,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("input")
     s.add_argument("output")
     s.add_argument("--options", default="causal",
-                   choices=["causal", "causal_dc", "noncausal"],
-                   help="noncausal = 5 ms lookahead, output delayed "
-                        "by 80 samples")
+                   choices=["causal", "causal_dc", "noncausal",
+                            "noncausal_dc", "strict"],
+                   help="the reference demo's 4 PLC methods "
+                        "(lpcnet_demo.c:120-127) plus `strict` = "
+                        "bit-exact-class replica of the C causal engine "
+                        "(PLC_SKIP_UPDATES + 80-sample split conceal)")
     s.add_argument("--weights", default=None)
     s.add_argument("--plc-weights", default=None)
     s.add_argument("--seed", type=int, default=0)

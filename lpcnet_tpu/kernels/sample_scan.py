@@ -135,7 +135,8 @@ def sample_step(tables: Dict[str, Any], state: Dict[str, jax.Array],
 def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
                   cond: Dict[str, jax.Array], cfg, nsamples: int,
                   target: Optional[jax.Array] = None,
-                  preload: Optional[jax.Array] = None
+                  preload: Optional[jax.Array] = None,
+                  n_active: Optional[jax.Array] = None
                   ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """Synthesize `nsamples` steps under ONE condition set — the equivalent
     of lpcnet_synthesize_tail_impl (lpcnet.c:235-271) called standalone,
@@ -143,7 +144,10 @@ def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
 
     cond: cond_a (B,3Na), cond_b (B,3Nb), lpc (B,16).
     target: optional (B, nsamples); preload: optional (B,) int32 — samples
-    [0, preload) are teacher-forced. Returns (state, (B, nsamples))."""
+    [0, preload) are teacher-forced. n_active: optional (B,) int32 — per
+    stream, only steps [0, n_active) advance state / emit output (the
+    batched form of the C's variable-length synthesize calls; inactive
+    streams keep their state, RNG included). Returns (state, (B, nsamples))."""
     approx, preemph = cfg.approx, cfg.preemph
     ca, cb, lp = cond["cond_a"], cond["cond_b"], cond["lpc"]
 
@@ -151,9 +155,20 @@ def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
         if target is not None:
             pl = preload if preload is not None \
                 else jnp.full(ca.shape[:1], nsamples, jnp.int32)
-            return sample_step(tables, st, ca, cb, lp, approx, preemph,
-                               target=target[:, i], teacher_mask=i < pl)
-        return sample_step(tables, st, ca, cb, lp, approx, preemph)
+            new_st, out = sample_step(tables, st, ca, cb, lp, approx,
+                                      preemph, target=target[:, i],
+                                      teacher_mask=i < pl)
+        else:
+            new_st, out = sample_step(tables, st, ca, cb, lp, approx,
+                                      preemph)
+        if n_active is not None:
+            act = i < n_active
+            new_st = jax.tree.map(
+                lambda n, o: jnp.where(
+                    act.reshape(act.shape + (1,) * (n.ndim - 1)), n, o),
+                new_st, st)
+            out = jnp.where(act, out, 0.0)
+        return new_st, out
 
     state, pcm = jax.lax.scan(body, state, jnp.arange(nsamples))
     return state, pcm.T

@@ -7,7 +7,7 @@ per stream with masks. This replaces the reference's per-stream branchy C
 (lpcnet_plc_update_causal :188-290, lpcnet_plc_conceal_causal :293-337)
 with two synthesis passes + two feature passes per frame.
 
-Deliberate divergences from the C (documented):
+Deliberate divergences of PLCEngine from the C (documented):
   * We run teacher-forced state updates on every good frame — the
     reference's `#else` branch (lpcnet_plc.c:273-279). The C default
     (PLC_SKIP_UPDATES) skips them to save CPU; batched TPU synthesis makes
@@ -17,6 +17,11 @@ Deliberate divergences from the C (documented):
     conditions (lpcnet_plc.c:315-320). Blend cross-fade hides both.
   * KISS99 draws advance on masked-off paths (a batched-execution artifact);
     per-stream outputs remain deterministic functions of inputs.
+
+StrictCausalPLCEngine below removes the first two divergences: it is a
+bit-exact-class replica of the C's default causal engine (concealed and
+blend frames match the compiled reference within +-1 rounding flips — see
+tests/test_ref_parity.py::TestStrictPLCEngineParity).
 
 Feature queue for FEC (forward error correction via DRED) follows
 lpcnet_plc_fec_add / get_fec_or_pred / fec_rewind (lpcnet_plc.c:111-173).
@@ -30,8 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import features as F
-from .constants import (FRAME_SIZE, NB_BANDS, NB_FEATURES, NB_TOTAL_FEATURES,
-                        PLC_MAX_FEC, TRAINING_OFFSET)
+from .constants import (FRAME_SIZE, LPC_ORDER, NB_BANDS, NB_FEATURES,
+                        NB_TOTAL_FEATURES, PLC_MAX_FEC, TRAINING_OFFSET)
 from .kernels import sample_scan
 from .models import lpcnet as lpcnet_model
 from .models import plc as plc_model
@@ -297,6 +302,344 @@ class PLCEngine:
         return new_state, output
 
 
+class StrictCausalPLCEngine:
+    """Bit-exact-class replica of the reference causal PLC engine under its
+    DEFAULT build flags (PLC_SKIP_UPDATES defined, blending enabled —
+    lpcnet_plc.c:40, :64-66), unlike PLCEngine which deliberately
+    teacher-forces every good frame (documented at the top of this file).
+
+    Reference semantics reproduced here:
+      * good frames only queue features into a 4-deep deferred buffer
+        (run_frame_network_deferred, lpcnet.c:123-135); the sample-rate
+        state stays frozen behind a PLC_BUF_SIZE (= FEATURES_DELAY*160+80
+        = 400) sample delay buffer (lpcnet_private.h:77,92-94)
+      * conceal first flushes the deferred features (lpcnet.c:137-145),
+        teacher-forces the buffered samples in <=160-sample chunks
+        (lpcnet_plc.c:298-312), then synthesizes 80 samples with the OLD
+        conditions and 80 with the newly predicted features — the
+        80-sample split conceal (lpcnet_plc.c:315-320)
+      * the first good frame after a loss cross-fades a free-run
+        continuation into the input over 80 samples, restores the
+        snapshot, and teacher-forces the blended audio
+        (lpcnet_plc.c:215-231)
+
+    Batched over streams with per-stream masks; every path is computed for
+    every stream and selected. remove_dc is not supported in strict mode
+    (use PLCEngine(options=PLCOptions(remove_dc=True)) or the reference
+    build); FEC queueing works via the inherited fec_add/fec_clear.
+    """
+    MAX_FEAT_BUF = 4      # conv1.ksize + conv2.ksize - 2 (lpcnet.c:124)
+
+    def __init__(self, lpcnet_params, plc_params,
+                 cfg: Optional[lpcnet_model.LPCNetConfig] = None,
+                 plc_cfg: Optional[plc_model.PLCConfig] = None,
+                 options: PLCOptions = PLCOptions()):
+        assert not options.remove_dc, \
+            "strict mode does not implement the DC filter"
+        self.cfg = cfg or lpcnet_model.LPCNetConfig()
+        self.plc_cfg = plc_cfg or plc_model.PLCConfig()
+        self.params = lpcnet_params
+        self.plc_params = plc_params
+        self.tables = lpcnet_model.precompute_sample_tables(lpcnet_params,
+                                                            self.cfg)
+        self.options = options
+        self.buf_size = self.cfg.lookahead * FRAME_SIZE + TRAINING_OFFSET
+        self._step = jax.jit(self._step_impl)
+
+    # FEC queue bookkeeping is shared with the default engine
+    fec_add = PLCEngine.fec_add
+    fec_clear = PLCEngine.fec_clear
+    step = PLCEngine.step
+
+    def init_state(self, batch: int) -> Dict[str, Any]:
+        cfg = self.cfg
+        na3 = 3 * cfg.gru_a_units
+        nb3 = 3 * cfg.gru_b_units
+        return {
+            "synth": sample_scan.init_state(batch, cfg),
+            "fnet": lpcnet_model.frame_net_init_state(batch, cfg),
+            "enc": F.init_state(batch),
+            "plc_net": plc_model.init_net_state(batch, self.plc_cfg),
+            "plc_copies": jax.tree.map(
+                lambda x: jnp.repeat(x[:, None], cfg.lookahead + 1, 1),
+                plc_model.init_net_state(batch, self.plc_cfg)),
+            # conditions left by the last run_frame_network (zeros after
+            # reset, like the calloc'd LPCNetState)
+            "last_cond": {
+                "cond_a": jnp.zeros((batch, na3), jnp.float32),
+                "cond_b": jnp.zeros((batch, nb3), jnp.float32),
+                "lpc": jnp.zeros((batch, LPC_ORDER), jnp.float32)},
+            "feat_buf": jnp.zeros((batch, self.MAX_FEAT_BUF, NB_FEATURES),
+                                  jnp.float32),
+            "feat_fill": jnp.zeros((batch,), jnp.int32),
+            "pcm_buf": jnp.zeros((batch, self.buf_size + FRAME_SIZE),
+                                 jnp.float32),
+            "pcm_fill": jnp.full((batch,), self.buf_size, jnp.int32),
+            "skip_analysis": jnp.zeros((batch,), jnp.int32),
+            "blend": jnp.zeros((batch,), bool),
+            "features": jnp.zeros((batch, NB_FEATURES), jnp.float32),
+            "loss_count": jnp.zeros((batch,), jnp.int32),
+            "fec": jnp.zeros((batch, PLC_MAX_FEC, NB_FEATURES), jnp.float32),
+            "fec_fill": jnp.zeros((batch,), jnp.int32),
+            "fec_read": jnp.zeros((batch,), jnp.int32),
+            "fec_keep": jnp.zeros((batch,), jnp.int32),
+            "fec_skip": jnp.zeros((batch,), jnp.int32),
+        }
+
+    # ------------------------------------------------------------------
+    def _sel(self, mask, a, b):
+        pick = lambda x, y: jnp.where(
+            mask.reshape(mask.shape + (1,) * (x.ndim - 1)), x, y)
+        return jax.tree.map(pick, a, b)
+
+    def _fnet_masked(self, fstate, last_cond, feats20, mask):
+        """run_frame_network for masked streams; inactive streams keep
+        state and conditions."""
+        feats = jnp.zeros((feats20.shape[0], NB_TOTAL_FEATURES),
+                          jnp.float32).at[:, :NB_FEATURES].set(feats20)
+        nf, cond = lpcnet_model.frame_net_step(
+            self.params, self.tables, fstate, feats, self.cfg)
+        cond = {k: cond[k] for k in ("cond_a", "cond_b", "lpc")}
+        return (self._sel(mask, nf, fstate),
+                self._sel(mask, cond, last_cond))
+
+    def _push_copy(self, copies, cur, mask):
+        shifted = jax.tree.map(
+            lambda cp, c: jnp.concatenate([c[:, None], cp[:, :-1]], axis=1),
+            copies, cur)
+        return self._sel(mask, shifted, copies)
+
+    def _feat_push(self, buf, fill, feats20, mask):
+        """run_frame_network_deferred (lpcnet.c:123-135): append, dropping
+        the oldest entry when the 4-deep buffer is full."""
+        full = fill >= self.MAX_FEAT_BUF
+        shifted = jnp.where(full[:, None, None],
+                            jnp.concatenate([buf[:, 1:], buf[:, -1:]], 1),
+                            buf)
+        new_fill = jnp.where(full, fill, fill + 1)
+        pos = new_fill - 1
+        onehot = jnp.arange(self.MAX_FEAT_BUF)[None, :] == pos[:, None]
+        written = jnp.where((onehot & mask[:, None])[..., None],
+                            feats20[:, None, :], shifted)
+        return (jnp.where(mask[:, None, None], written, buf),
+                jnp.where(mask, new_fill, fill))
+
+    def _get_fec_or_pred(self, plc, st, active, out_prev):
+        """get_fec_or_pred (lpcnet_plc.c:147-166), batched: FEC frame if
+        queued, else DNN prediction; the PLC net is updated either way."""
+        B = out_prev.shape[0]
+        has_fec = (st["fec_read"] < st["fec_fill"]) & (st["fec_skip"] == 0)
+        fec_feat = jnp.take_along_axis(
+            st["fec"], jnp.clip(st["fec_read"], 0, PLC_MAX_FEC - 1)
+            [:, None, None].repeat(NB_FEATURES, -1), axis=1)[:, 0]
+        zeros36 = jnp.zeros((B, 2 * NB_BANDS), jnp.float32)
+        in_fec = jnp.concatenate(
+            [zeros36, fec_feat, -jnp.ones((B, 1))], axis=-1)
+        in_lost = jnp.zeros((B, 2 * NB_BANDS + NB_FEATURES + 1), jnp.float32)
+        x = jnp.where(has_fec[:, None], in_fec, in_lost)
+        new_plc, pred = plc_model.step(self.plc_params, plc, x, self.plc_cfg)
+        out = jnp.where(active[:, None],
+                        jnp.where(has_fec[:, None], fec_feat, pred),
+                        out_prev)
+        plc = self._sel(active, new_plc, plc)
+        take = active & has_fec
+        read = jnp.where(take, st["fec_read"] + 1, st["fec_read"])
+        keep = jnp.where(take, jnp.maximum(
+            0, jnp.maximum(st["fec_keep"], read - self.cfg.lookahead - 1)),
+            st["fec_keep"])
+        skip = jnp.where(active & ~has_fec & (st["fec_skip"] > 0),
+                         st["fec_skip"] - 1, st["fec_skip"])
+        fec_new = dict(st, fec_read=read, fec_keep=keep, fec_skip=skip)
+        return out, plc, fec_new, take
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, state, pcm, lost):
+        B = pcm.shape[0]
+        cfg = self.cfg
+        off = TRAINING_OFFSET
+        FS = FRAME_SIZE
+        burg36 = burg_ops.burg_cepstral_analysis(pcm)
+        zeros20 = jnp.zeros((B, NB_FEATURES), jnp.float32)
+        one = jnp.ones((B, 1), jnp.float32)
+
+        # =========== CONCEAL path (applied where lost) ===========
+        # 1. flush the deferred feature buffer (run_frame_network_flush)
+        fnetC, condC = state["fnet"], state["last_cond"]
+        for j in range(self.MAX_FEAT_BUF):
+            m = (j < state["feat_fill"]) & lost
+            fnetC, condC = self._fnet_masked(fnetC, condC,
+                                             state["feat_buf"][:, j], m)
+        # 2. teacher-forced catch-up over the delay buffer
+        #    (lpcnet_plc.c:298-312)
+        synthC = state["synth"]
+        plcC, copiesC = state["plc_net"], state["plc_copies"]
+        fecC = {k: state[k] for k in
+                ("fec", "fec_fill", "fec_read", "fec_keep", "fec_skip")}
+        bufC, fillC = state["pcm_buf"], state["pcm_fill"]
+        skipC = state["skip_analysis"]
+        featuresC = state["features"]
+        n_catchup = (self.buf_size + FS + FS - 1) // FS
+        for _ in range(n_catchup):
+            act = (fillC > 0) & lost
+            upd = jnp.clip(fillC, 0, FS)
+            copiesC = self._push_copy(copiesC, plcC, act)
+            featuresC, plcC, fecC, _ = self._get_fec_or_pred(
+                plcC, fecC, act, featuresC)
+            fnetC, condC = self._fnet_masked(fnetC, condC, featuresC, act)
+            synthC, _ = sample_scan.synth_samples(
+                self.tables, synthC, condC, cfg, FS,
+                target=bufC[:, :FS], preload=upd,
+                n_active=jnp.where(act, upd, 0))
+            shifted = jnp.concatenate(
+                [bufC[:, FS:], jnp.zeros((B, FS))], axis=-1)
+            bufC = jnp.where(act[:, None], shifted, bufC)
+            fillC = jnp.where(act, fillC - upd, fillC)
+            skipC = skipC + act.astype(jnp.int32)
+        # 3. 80 samples with the OLD conditions, 80 with the new prediction
+        #    (the 80-sample split conceal, lpcnet_plc.c:313-320)
+        copiesC = self._push_copy(copiesC, plcC, lost)
+        synthC, out_head = sample_scan.synth_samples(
+            self.tables, synthC, condC, cfg, FS - off,
+            n_active=jnp.where(lost, FS - off, 0))
+        featuresC, plcC, fecC, got_fec = self._get_fec_or_pred(
+            plcC, fecC, lost, featuresC)
+        lcC = jnp.where(got_fec, 0, state["loss_count"] + 1)
+        att = jnp.where(
+            lcC >= 10,
+            ATT_TABLE[9] - 2.0 * (lcC - 9).astype(jnp.float32),
+            jnp.asarray(ATT_TABLE)[jnp.clip(lcC, 0, 9)])
+        featuresC = featuresC.at[:, 0].set(
+            jnp.maximum(-10.0, featuresC[:, 0] + att))
+        fnetC, condC = self._fnet_masked(fnetC, condC, featuresC, lost)
+        synthC, out_tail = sample_scan.synth_samples(
+            self.tables, synthC, condC, cfg, off,
+            n_active=jnp.where(lost, off, 0))
+        out_conceal = jnp.concatenate([out_head, out_tail], axis=-1)
+
+        # =========== UPDATE path (good frames) ===========
+        blend = (~lost) & state["blend"]
+        goodA = (~lost) & ~blend
+        # --- blend: restore copy, predict, cross-fade, teacher-force
+        #     (lpcnet_plc.c:210-231)
+        plc_rest = self._sel(blend, jax.tree.map(lambda c: c[:, -1],
+                                                 state["plc_copies"]),
+                             state["plc_net"])
+        in_blend = jnp.concatenate([burg36, zeros20, one], axis=-1)
+        plcB, predB = plc_model.step(self.plc_params, plc_rest, in_blend,
+                                     self.plc_cfg)
+        featbufB, featfillB = state["feat_buf"], state["feat_fill"]
+        for _ in range(cfg.lookahead):       # lpcnet_plc.c:219-222
+            featbufB, featfillB = self._feat_push(featbufB, featfillB,
+                                                  predB, blend)
+        fnetB, condB = self._fnet_masked(state["fnet"], state["last_cond"],
+                                         predB, blend)
+        _, tmp80 = sample_scan.synth_samples(
+            self.tables, state["synth"], condB, cfg, FS - off,
+            n_active=jnp.where(blend, FS - off, 0))
+        i = jnp.arange(FS - off, dtype=jnp.float32)
+        w = 0.5 - 0.5 * jnp.cos(np.pi * i / (FS - off))
+        faded = jnp.floor(0.5 + w[None, :] * pcm[:, :FS - off]
+                          + (1 - w)[None, :] * tmp80)
+        out_blend = jnp.concatenate([faded, pcm[:, FS - off:]], axis=-1)
+        synthB, _ = sample_scan.synth_samples(
+            self.tables, state["synth"], condB, cfg, FS - off,
+            target=faded, preload=jnp.full((B,), FS - off, jnp.int32),
+            n_active=jnp.where(blend, FS - off, 0))
+        # pcm buffer after blend: last 80 input samples (lpcnet_plc.c:242)
+        bufB = jnp.zeros_like(state["pcm_buf"])
+        bufB = bufB.at[:, :off].set(pcm[:, FS - off:])
+        fillB = jnp.full((B,), off, jnp.int32)
+
+        # final output (needed now for the shared feature pass)
+        output = jnp.where(lost[:, None], out_conceal,
+                           jnp.where(blend[:, None], out_blend, pcm))
+
+        # --- shared enc feature pass: every path extracts features of its
+        #     output frame through the same streaming state
+        new_enc, featsg, _ = F.compute_features(state["enc"], output,
+                                                mode="single")
+        featg = featsg[:, 0, :NB_FEATURES]
+
+        # --- good non-blend: PLC-net update + FEC discard
+        #     (lpcnet_plc.c:251-262)
+        in_good = jnp.concatenate([burg36, featg, one], axis=-1)
+        plcG, predG = plc_model.step(self.plc_params, state["plc_net"],
+                                     in_good, self.plc_cfg)
+        gskip = goodA & (state["fec_skip"] > 0)
+        gread = goodA & ~gskip & (state["fec_read"] < state["fec_fill"])
+        fec_readU = jnp.where(gread, state["fec_read"] + 1,
+                              state["fec_read"])
+        fec_skipU = jnp.where(gskip, state["fec_skip"] - 1,
+                              state["fec_skip"])
+        fec_keepU = jnp.where(
+            goodA, jnp.maximum(0, jnp.maximum(
+                state["fec_keep"], fec_readU - cfg.lookahead - 1)),
+            state["fec_keep"])
+
+        # pcm delay buffer for good frames: steady state keeps the last
+        # buf_size samples; catch-up frames append at pcm_fill
+        # (lpcnet_plc.c:244-247 vs :281-286)
+        steady = goodA & (state["skip_analysis"] == 0)
+        pos = jnp.arange(self.buf_size + FRAME_SIZE)[None, :]
+        # steady: buf = [old[FS : buf_size+FS] with pcm at buf_size..]
+        steady_buf = jnp.concatenate(
+            [state["pcm_buf"][:, FS:self.buf_size], pcm,
+             jnp.zeros((B, FS))], axis=-1)
+        # case C: write pcm at offset pcm_fill, fill += FS
+        offl = state["pcm_fill"][:, None]
+        in_window = (pos >= offl) & (pos < offl + FS)
+        idx = jnp.clip(pos - offl, 0, FS - 1)
+        appended = jnp.where(in_window,
+                             jnp.take_along_axis(pcm, idx, axis=-1),
+                             state["pcm_buf"])
+        bufU = jnp.where(steady[:, None], steady_buf,
+                         jnp.where((goodA & ~steady)[:, None], appended,
+                                   jnp.where(blend[:, None], bufB,
+                                             state["pcm_buf"])))
+        fillU = jnp.where(steady, state["pcm_fill"],
+                          jnp.where(goodA, state["pcm_fill"] + FS,
+                                    jnp.where(blend, fillB,
+                                              state["pcm_fill"])))
+
+        # deferred feature push for all good frames (lpcnet_plc.c:266,
+        # :275-277)
+        featbufU, featfillU = self._feat_push(featbufB, featfillB, featg,
+                                              ~lost)
+        skipU = jnp.where((blend | goodA) & (state["skip_analysis"] > 0),
+                          state["skip_analysis"] - 1,
+                          state["skip_analysis"])
+
+        # =========== merge ===========
+        new_state = dict(state)
+        new_state.update(
+            synth=self._sel(lost, synthC,
+                            self._sel(blend, synthB, state["synth"])),
+            fnet=self._sel(lost, fnetC,
+                           self._sel(blend, fnetB, state["fnet"])),
+            last_cond=self._sel(lost, condC,
+                                self._sel(blend, condB,
+                                          state["last_cond"])),
+            enc=new_enc,
+            plc_net=self._sel(lost, plcC,
+                              self._sel(blend, plcB, plcG)),
+            plc_copies=self._sel(lost, copiesC, state["plc_copies"]),
+            feat_buf=jnp.where(lost[:, None, None], state["feat_buf"],
+                               featbufU),
+            feat_fill=jnp.where(lost, 0, featfillU),
+            pcm_buf=jnp.where(lost[:, None], bufC, bufU),
+            pcm_fill=jnp.where(lost, 0, fillU),
+            skip_analysis=jnp.where(lost, skipC, skipU),
+            blend=lost,
+            features=jnp.where(lost[:, None], featuresC,
+                               jnp.where(blend[:, None], predB, predG)),
+            loss_count=jnp.where(lost, lcC, 0),
+            fec_read=jnp.where(lost, fecC["fec_read"], fec_readU),
+            fec_keep=jnp.where(lost, fecC["fec_keep"], fec_keepU),
+            fec_skip=jnp.where(lost, fecC["fec_skip"], fec_skipU),
+        )
+        return new_state, output
+
+
 class NonCausalPLCEngine:
     """Non-causal PLC with 5 ms lookahead (lpcnet_plc.c:349-492): output is
     delayed by TRAINING_OFFSET (80 samples), which lets the first good frame
@@ -307,15 +650,22 @@ class NonCausalPLCEngine:
     at lpcnet_plc.c:356-361). Batched over streams with per-stream loss
     masks; every control path is computed for every stream and selected.
 
-    Documented divergences from the C:
-      * remove_dc is not implemented in this mode (the causal engine has it)
-      * the enc feature-extractor state advances with batched chunk calls,
-        so its pitch history is equivalent but not byte-identical
+    remove_dc (the demo's `noncausal_dc` method) follows the C exactly:
+    DC is tracked/removed on input (lpcnet_plc.c:366-374), the blend path
+    re-tracks it over the 5 ms concealment continuation and re-removes
+    with the updated estimate (:389-399), concealed output re-adds the
+    estimate through an 80-sample dc_buf delay line matched to the
+    engine's output delay (:443-448, :477-489).
+
+    Documented divergence from the C: the enc feature-extractor state
+    advances with batched chunk calls, so its pitch history is equivalent
+    but not byte-identical.
     """
 
     def __init__(self, lpcnet_params, plc_params,
                  cfg: Optional[lpcnet_model.LPCNetConfig] = None,
-                 plc_cfg: Optional[plc_model.PLCConfig] = None):
+                 plc_cfg: Optional[plc_model.PLCConfig] = None,
+                 options: PLCOptions = PLCOptions()):
         self.cfg = cfg or lpcnet_model.LPCNetConfig(lookahead=0)
         assert self.cfg.lookahead == 0, (
             "Non-causal PLC needs a no-lookahead model (FEATURES_DELAY==0),"
@@ -325,6 +675,7 @@ class NonCausalPLCEngine:
         self.plc_params = plc_params
         self.tables = lpcnet_model.precompute_sample_tables(lpcnet_params,
                                                             self.cfg)
+        self.options = options
         self._step = jax.jit(self._step_impl)
 
     def init_state(self, batch: int) -> Dict[str, Any]:
@@ -338,6 +689,9 @@ class NonCausalPLCEngine:
             "queued": jnp.zeros((batch,), bool),
             "queued_samples": jnp.zeros((batch, FRAME_SIZE), jnp.float32),
             "loss_count": jnp.zeros((batch,), jnp.int32),
+            "dc_mem": jnp.zeros((batch,), jnp.float32),
+            "syn_dc": jnp.zeros((batch,), jnp.float32),
+            "dc_buf": jnp.zeros((batch, TRAINING_OFFSET), jnp.float32),
         }
 
     def step(self, state, pcm, lost):
@@ -362,6 +716,7 @@ class NonCausalPLCEngine:
         off = TRAINING_OFFSET
         buf = state["pcm_buf"]
         lc = state["loss_count"]
+        dc = self.options.remove_dc
 
         # --- 0. queued teacher-forced catch-up (process_queued_update,
         # lpcnet_plc.c:342-347) — runs first on every path
@@ -372,7 +727,26 @@ class NonCausalPLCEngine:
         synth = self._sel(state["queued"], synthQ, state["synth"])
         fnet = self._sel(state["queued"], fnetQ, state["fnet"])
 
-        burg36 = burg_ops.burg_cepstral_analysis(pcm)
+        # --- DC removal on the incoming audio (update path only,
+        # lpcnet_plc.c:366-374)
+        def dc_scan(m, x):
+            lp = jnp.floor(0.5 + m)
+            m = m + DC_CONST * (x - m)
+            return m, lp
+
+        if dc:
+            delta0 = jnp.trunc(state["syn_dc"])     # int delta = syn_dc
+            mem_bak = state["dc_mem"] + state["syn_dc"]
+            dc_mem1, lp1 = jax.lax.scan(dc_scan, mem_bak, pcm.T)
+            lp1 = lp1.T
+            pcm1 = pcm - lp1
+        else:
+            delta0 = jnp.zeros((B,))
+            mem_bak = state["dc_mem"]
+            dc_mem1, lp1 = state["dc_mem"], jnp.zeros_like(pcm)
+            pcm1 = pcm
+
+        burg36 = burg_ops.burg_cepstral_analysis(pcm1)
         zeros20 = jnp.zeros((B, NB_FEATURES), jnp.float32)
         one = jnp.ones((B, 1), jnp.float32)
 
@@ -389,8 +763,27 @@ class NonCausalPLCEngine:
         synth1, tail_new = sample_scan.synth_samples(
             self.tables, synth, cond1, cfg, off)
         buf_b = jnp.concatenate([buf[:, :off], tail_new], axis=-1)
+        # blend DC re-track: undo the initial removal, fold the synthesized
+        # 5 ms into syn_dc, and re-remove with the updated estimate
+        # (lpcnet_plc.c:389-399)
+        if dc:
+            def sdc_scan(m, x):
+                m = m + DC_CONST * (x - m)
+                return m, ()
+
+            syn_b, _ = jax.lax.scan(sdc_scan, jnp.zeros((B,)), tail_new.T)
+            delta_b = jnp.trunc(delta0 + syn_b)
+            dc_mem_b0 = mem_bak + syn_b
+            dc_mem_b, lp2 = jax.lax.scan(dc_scan, dc_mem_b0, pcm.T)
+            lp2 = lp2.T
+            pcm2 = pcm - lp2
+        else:
+            delta_b = jnp.zeros((B,))
+            dc_mem_b, lp2, pcm2 = dc_mem1, lp1, pcm1
+        pcm_rm = jnp.where(((lc > 0) & ~lost)[:, None], pcm2, pcm1)
+        lp_rm = jnp.where(((lc > 0) & ~lost)[:, None], lp2, lp1)
         # pass 2: time-reversed synthesis from cleared sample state (:401-411)
-        rev_in = pcm[:, ::-1]
+        rev_in = pcm_rm[:, ::-1]
         synth_clear = sample_scan.init_state(B, cfg)
         synth_clear["rng"] = synth1["rng"]     # keep the RNG stream moving
         fnet2, cond2 = self._cond(fnet1, feats_b)
@@ -402,18 +795,18 @@ class NonCausalPLCEngine:
         i = jnp.arange(off, dtype=jnp.float32)
         w = 0.5 - 0.5 * jnp.cos(np.pi * i / off)
         mixed = w * buf_b[:, FRAME_SIZE - 1 - jnp.arange(off, dtype=jnp.int32)] \
-            + (1 - w) * rev_out
+            + (1 - w) * (rev_out + delta_b[:, None])
         mixed = jnp.floor(0.5 + mixed)[:, ::-1]
         buf_b = jnp.concatenate([buf_b[:, :off], mixed], axis=-1)
         # blend: the synth/frame states revert to the pre-pass copy (:414)
         # and the catch-up is queued for the next step (:415-418)
-        queued_b = jnp.concatenate([buf_b[:, off:], pcm[:, :off]], axis=-1)
+        queued_b = jnp.concatenate([buf_b[:, off:], pcm_rm[:, :off]], axis=-1)
         # enc state advances over the blended previous frame (:421-424)
         encB, _, _ = F.compute_features(state["enc"], buf_b, mode="single")
 
         # --- shared: enc features of the incoming frame (:430-433)
         enc_in = self._sel(lost | ~was_lost, state["enc"], encB)
-        enc2, featsg, _ = F.compute_features(enc_in, pcm, mode="single")
+        enc2, featsg, _ = F.compute_features(enc_in, pcm_rm, mode="single")
         featg36 = featsg[:, 0]
 
         # --- good sub-path (no preceding loss, :434-441)
@@ -421,7 +814,7 @@ class NonCausalPLCEngine:
             [burg36, featg36[:, :NB_FEATURES], one], axis=-1)
         plc_g, pred_g = plc_model.step(self.plc_params, state["plc_net"],
                                        in_good, self.plc_cfg)
-        delayed = jnp.concatenate([buf[:, off:], pcm[:, :off]], axis=-1)
+        delayed = jnp.concatenate([buf[:, off:], pcm_rm[:, :off]], axis=-1)
         fnetG, condG = self._cond(fnet, featg36)
         synthG, _ = sample_scan.synth_samples(
             self.tables, synth, condG, cfg, FRAME_SIZE, target=delayed)
@@ -429,7 +822,12 @@ class NonCausalPLCEngine:
         # update-path results (blend output IS the queued catch-up buffer,
         # lpcnet_plc.c:415-418,441-444)
         out_upd = jnp.where(was_lost[:, None], queued_b, delayed)
-        buf_upd = pcm
+        if dc:
+            # re-add the DC estimate through the 80-sample output delay
+            # (lpcnet_plc.c:443-448)
+            out_upd = out_upd + jnp.concatenate(
+                [state["dc_buf"], lp_rm[:, :off]], axis=-1)
+        buf_upd = pcm_rm
         synth_upd = self._sel(was_lost, synth, synthG)   # blend keeps copy
         fnet_upd = self._sel(was_lost, fnet, fnetG)
         plc_upd = self._sel(was_lost, plc_b, plc_g)
@@ -472,6 +870,37 @@ class NonCausalPLCEngine:
         synth_con = self._sel(first, synthC1, synthC2)
         enc_con = self._sel(first, state["enc"], encC)
 
+        if dc:
+            # conceal DC handling (lpcnet_plc.c:477-489): track syn_dc on
+            # the newly synthesized samples, re-add floor(.5+dc_mem)
+            # through the dc_buf delay line
+            dc_int = jnp.floor(0.5 + state["dc_mem"])
+            track = jnp.where(first[:, None],
+                              jnp.concatenate([jnp.zeros((B, off)),
+                                               jnp.ones((B, off))], -1),
+                              jnp.ones((B, FRAME_SIZE)))
+
+            def sdc_masked(m, xm):
+                x, msk = xm
+                m = jnp.where(msk > 0, m + DC_CONST * (x - m), m)
+                return m, ()
+
+            syn_con, _ = jax.lax.scan(
+                sdc_masked, state["syn_dc"],
+                (out_con.T, track.T))
+            out_con = out_con + jnp.concatenate(
+                [state["dc_buf"], dc_int[:, None].repeat(off, -1)], axis=-1)
+            dc_buf_con = dc_int[:, None].repeat(off, -1)
+            dc_buf_upd = lp_rm[:, off:]
+            new_dc = {
+                "dc_mem": jnp.where(lost, state["dc_mem"],
+                                    jnp.where(was_lost, dc_mem_b, dc_mem1)),
+                "syn_dc": jnp.where(lost, syn_con, 0.0),
+                "dc_buf": jnp.where(lost[:, None], dc_buf_con, dc_buf_upd),
+            }
+        else:
+            new_dc = {}
+
         # ============ merge paths
         new_state = dict(state)
         new_state.update(
@@ -485,6 +914,7 @@ class NonCausalPLCEngine:
             queued_samples=jnp.where(lost[:, None],
                                      state["queued_samples"], queued_b),
             loss_count=jnp.where(lost, lc + 1, 0),
+            **new_dc,
         )
         output = jnp.where(lost[:, None], out_con, out_upd)
         return new_state, output

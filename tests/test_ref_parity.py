@@ -283,6 +283,186 @@ class TestPLCEngineBehavior:
         np.testing.assert_array_equal(ours[sl], pcm[sl])
 
 
+class TestStrictPLCEngineParity:
+    """StrictCausalPLCEngine (plc.py) vs the SAME compiled C engine:
+    the strict mode reproduces the C's default semantics exactly
+    (PLC_SKIP_UPDATES frozen sample state + delay-buffer catch-up,
+    80-sample split conceal, blend cross-fade from a snapshot), so
+    CONCEALED and BLEND frames land in the bit-exact class too — measured
+    99.3% of all samples identical, max |diff| 1 (the +-1 floor(.5+x)
+    rounding-flip class of the synthesis parity), corr 1.0000."""
+
+    @pytest.fixture(scope="class")
+    def run(self, tmp_path_factory):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu.models import lpcnet, plc as pm
+        from lpcnet_tpu.plc import StrictCausalPLCEngine
+        from lpcnet_tpu.utils import export_ref
+        tmp = tmp_path_factory.mktemp("refplcstrict")
+        build = subprocess.run(
+            ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
+             str(tmp)], capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+
+        cfg = lpcnet.LPCNetConfig(approx=True)
+        lp = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
+        pp = pm.init_params(jax.random.PRNGKey(1))
+        arrays = export_ref.export_lpcnet_arrays(
+            jax.tree.map(np.asarray, lp), cfg)
+        arrays.update(export_ref.export_plc_arrays(
+            jax.tree.map(np.asarray, pp)))
+        export_ref._write_blob(arrays, str(tmp / "w.bin"))
+
+        pcm = np.fromfile(os.path.join(GOLDEN, "speech.s16"),
+                          np.int16)[:24 * 160]
+        pcm.tofile(tmp / "in.pcm")
+        # one isolated loss + one double loss: exercises conceal,
+        # repeated conceal, blend, and catch-up resync
+        flags = [0, 0, 0, 0, 1, 0, 1, 1, 0, 0, 0, 0]
+        (tmp / "err.txt").write_text("\n".join(map(str, flags)))
+        r = subprocess.run(
+            [bin_path, "causal", str(tmp / "w.bin"), str(tmp / "err.txt"),
+             str(tmp / "in.pcm"), str(tmp / "ref.pcm")],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(tmp / "ref.pcm", np.int16).astype(int)
+
+        engine = StrictCausalPLCEngine(lp, pp, cfg)
+        state = engine.init_state(1)
+        outs = []
+        x = pcm.astype(np.float32)
+        for t in range(24):
+            lost = jnp.asarray([bool(flags[t // 2])])
+            state, o = engine.step(
+                state, jnp.asarray(x[None, t * 160:(t + 1) * 160]), lost)
+            outs.append(np.asarray(o[0]))
+        ours = np.concatenate(outs).astype(int)
+        return ref, ours, flags
+
+    def test_good_frames_bit_exact(self, run):
+        ref, ours, flags = run
+        for t in range(24):
+            if not flags[t // 2]:
+                sl = slice(t * 160, (t + 1) * 160)
+                d = np.abs(ref[sl] - ours[sl])
+                # blend frames may carry +-1 cross-fade rounding flips
+                assert d.max() <= 1, (t, d.max())
+                assert (d == 0).mean() > 0.95, (t, (d == 0).mean())
+
+    def test_concealed_frames_bit_exact_class(self, run):
+        ref, ours, flags = run
+        for t in range(24):
+            if flags[t // 2]:
+                sl = slice(t * 160, (t + 1) * 160)
+                d = np.abs(ref[sl] - ours[sl])
+                assert d.max() <= 2, (t, d.max())
+                assert (d == 0).mean() > 0.9, (t, (d == 0).mean())
+
+    def test_overall_bit_exact_fraction(self, run):
+        ref, ours, _ = run
+        assert (ref == ours).mean() > 0.98, (ref == ours).mean()
+
+
+class TestNonCausalPLCEngineParity:
+    """NonCausalPLCEngine (both plain and remove_dc) vs the compiled C
+    reference built with FEATURES_DELAY=0 (build_engine.sh noncausal),
+    outputs demo-aligned (skip/extra 80, lpcnet_demo.c:226,245-248).
+
+    Measured: ALL good frames (including post-loss blend recovery with its
+    time-reversed cross-fade) bit-identical; concealed frames 98%+ exact
+    with max |diff| 1. In dc mode the C's `pcm[i] += dc` re-add overflows
+    int16 and wraps where we clip — compared wrap-aware, concealed frames
+    are the same +-1 class (measured maxd 1, 99.4% exact)."""
+
+    @pytest.fixture(scope="class", params=["noncausal", "noncausal_dc"])
+    def run(self, request, tmp_path_factory):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu.models import lpcnet, plc as pm
+        from lpcnet_tpu.plc import NonCausalPLCEngine, PLCOptions
+        from lpcnet_tpu.utils import export_ref
+        mode = request.param
+        tmp = tmp_path_factory.mktemp(f"refplc_{mode}")
+        build = subprocess.run(
+            ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
+             str(tmp), "noncausal"], capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+
+        cfg = lpcnet.LPCNetConfig(approx=True, lookahead=0)
+        lp = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
+        pp = pm.init_params(jax.random.PRNGKey(1))
+        arrays = export_ref.export_lpcnet_arrays(
+            jax.tree.map(np.asarray, lp), cfg)
+        arrays.update(export_ref.export_plc_arrays(
+            jax.tree.map(np.asarray, pp)))
+        export_ref._write_blob(arrays, str(tmp / "w.bin"))
+
+        # +300 DC offset exercises the dc tracking path
+        pcm = (np.fromfile(os.path.join(GOLDEN, "speech.s16"),
+                           np.int16)[:16 * 160] + 300).clip(
+            -32767, 32767).astype(np.int16)
+        pcm.tofile(tmp / "in.pcm")
+        flags = [0, 0, 0, 1, 0, 0, 0, 0]
+        (tmp / "err.txt").write_text("\n".join(map(str, flags)))
+        r = subprocess.run(
+            [bin_path, mode, str(tmp / "w.bin"), str(tmp / "err.txt"),
+             str(tmp / "in.pcm"), str(tmp / "ref.pcm")],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(tmp / "ref.pcm", np.int16).astype(int)
+
+        engine = NonCausalPLCEngine(
+            lp, pp, cfg,
+            options=PLCOptions(remove_dc=mode.endswith("dc")))
+        state = engine.init_state(1)
+        x = pcm.astype(np.float32)
+        outs = []
+        for t in range(16):
+            lost = jnp.asarray([bool(flags[t // 2])])
+            state, o = engine.step(
+                state, jnp.asarray(x[None, t * 160:(t + 1) * 160]), lost)
+            outs.append(np.asarray(o[0]))
+        # demo alignment: drop the 80-sample delay, flush one conceal
+        state, o = engine.step(state, jnp.zeros((1, 160)),
+                               jnp.asarray([True]))
+        outs.append(np.asarray(o[0, :80]))
+        ours = np.concatenate(outs)[80:].astype(int)
+        n = min(len(ref), len(ours))
+        return ref[:n], ours[:n], flags
+
+    @staticmethod
+    def _wrap_diff(a, b):
+        d = np.abs(a - b)
+        return np.minimum(d, 65536 - d)   # C re-add wraps int16; we clip
+
+    def test_good_frames_bit_exact(self, run):
+        ref, ours, flags = run
+        for t in range(len(ref) // 160):
+            if t < 16 and not flags[t // 2]:
+                sl = slice(t * 160, (t + 1) * 160)
+                np.testing.assert_array_equal(ref[sl], ours[sl],
+                                              err_msg=f"frame {t}")
+
+    def test_concealed_frames_bit_exact_class(self, run):
+        ref, ours, flags = run
+        for t in range(len(ref) // 160):
+            if t < 16 and flags[t // 2]:
+                sl = slice(t * 160, (t + 1) * 160)
+                d = self._wrap_diff(ref[sl], ours[sl])
+                assert d.max() <= 2, (t, d.max())
+                assert (d == 0).mean() > 0.85, (t, (d == 0).mean())
+
+    def test_overall(self, run):
+        ref, ours, _ = run
+        d = self._wrap_diff(ref, ours)
+        assert (d == 0).mean() > 0.98, (d == 0).mean()
+
+
 class TestE2EWaveformParity:
     """END2END (rc2lpc) model variant vs the reference C built with the
     e2e flavor (build.sh '... e2e'): measured 99.3% bit-identical

@@ -1,15 +1,23 @@
 #!/bin/sh
-# Build the FULL reference PLC engine (causal modes) against a combined
-# LPCNet+PLC weight blob (export_lpcnet_blob + export_plc_blob arrays in
-# one file). Uses the real plc_data.h in this dir (include order puts it
-# before ref_synth's stub).
+# Build the FULL reference PLC engine against a combined LPCNet+PLC weight
+# blob (export_lpcnet_blob + export_plc_blob arrays in one file). Uses the
+# real plc_data.h in this dir (include order puts it before ref_synth's
+# stub). Pass "noncausal" as $3 to build the FEATURES_DELAY=0 variant the
+# non-causal modes require (lpcnet_plc.c:356-361).
 set -e
 REF=${1:-/root/reference}
 HERE=$(dirname "$0")
 SYNTH=$(dirname "$HERE")/ref_synth
 OUT=${2:-$(mktemp -d)}
+INC_FIRST="$HERE"
+if [ "${3:-}" = "noncausal" ]; then
+  mkdir -p "$OUT/nc_include"
+  sed 's/#define FEATURES_DELAY 2/#define FEATURES_DELAY 0/' \
+    "$SYNTH"/nnet_data.h > "$OUT/nc_include/nnet_data.h"
+  INC_FIRST="$OUT/nc_include -I$HERE"
+fi
 gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE \
-  -I"$HERE" -I"$SYNTH" -I$REF/include -I$REF/src \
+  -I$INC_FIRST -I"$SYNTH" -I$REF/include -I$REF/src \
   $REF/src/lpcnet_plc.c $REF/src/lpcnet.c $REF/src/lpcnet_enc.c \
   $REF/src/nnet.c $REF/src/freq.c $REF/src/kiss_fft.c $REF/src/pitch.c \
   $REF/src/burg.c $REF/src/common.c $REF/src/kiss99.c \

@@ -1,7 +1,10 @@
 /* Full reference PLC-engine driver (lpcnet_demo -plc_file equivalent,
-   src/lpcnet_demo.c:220-249). Combined LPCNet+PLC weight blob. */
+   src/lpcnet_demo.c:220-249). Combined LPCNet+PLC weight blob.
+   noncausal modes need the FEATURES_DELAY=0 build (build_engine.sh
+   noncausal); output is sample-aligned like the demo (skip/extra 80). */
 #include <stdio.h>
 #include <stdlib.h>
+#include <string.h>
 #include "lpcnet.h"
 
 int main(int argc, char **argv) {
@@ -11,14 +14,22 @@ int main(int argc, char **argv) {
   LPCNetPLCState *net;
   short pcm[LPCNET_FRAME_SIZE];
   int count = 0, loss = 0, flags;
+  int skip = 0, extra = 0;
   if (argc != 6) {
     fprintf(stderr,
-            "usage: %s causal|causal_dc w.bin err.txt in.pcm out.pcm\n",
+            "usage: %s causal|causal_dc|noncausal|noncausal_dc "
+            "w.bin err.txt in.pcm out.pcm\n",
             argv[0]);
     return 1;
   }
-  flags = LPCNET_PLC_CAUSAL;
-  if (argv[1][6] == '_') flags |= LPCNET_PLC_DC_FILTER;
+  if (!strncmp(argv[1], "noncausal", 9)) {
+    flags = LPCNET_PLC_NONCAUSAL;
+    if (argv[1][9] == '_') flags |= LPCNET_PLC_DC_FILTER;
+    skip = extra = 80;          /* lpcnet_demo.c:226 */
+  } else {
+    flags = LPCNET_PLC_CAUSAL;
+    if (argv[1][6] == '_') flags |= LPCNET_PLC_DC_FILTER;
+  }
   fw = fopen(argv[2], "rb");
   if (!fw) { perror(argv[2]); return 1; }
   fseek(fw, 0, SEEK_END); len = ftell(fw); fseek(fw, 0, SEEK_SET);
@@ -41,8 +52,13 @@ int main(int argc, char **argv) {
     }
     if (loss) lpcnet_plc_conceal(net, pcm);
     else lpcnet_plc_update(net, pcm);
-    fwrite(pcm, sizeof(short), LPCNET_FRAME_SIZE, fout);
+    fwrite(&pcm[skip], sizeof(short), LPCNET_FRAME_SIZE - skip, fout);
+    skip = 0;
     count++;
+  }
+  if (extra) {                  /* flush the delay line, lpcnet_demo.c:245 */
+    lpcnet_plc_conceal(net, pcm);
+    fwrite(pcm, sizeof(short), extra, fout);
   }
   lpcnet_plc_destroy(net);
   return 0;
