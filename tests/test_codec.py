@@ -145,3 +145,55 @@ class TestVqTrain:
                                              iters=2)
         assert cbs["cb1"].shape == (1024, 17)
         assert cbs["diff4"].shape == (4096, 18)
+
+    def test_kmeans_weighted_respects_weights(self):
+        """vq_train_weighted equivalent (ceps_vq_train.c:406-431): with
+        weight concentrated on dim 0, the trained codebook must quantize
+        dim 0 much better than an unweighted one at equal size."""
+        rs = np.random.RandomState(10)
+        x = jnp.asarray(rs.randn(3000, 8).astype(np.float32))
+        w_dim0 = np.ones((3000, 8), np.float32) * 0.01
+        w_dim0[:, 0] = 100.0
+        cb_w = vq_train.kmeans_weighted(jax.random.PRNGKey(0), x,
+                                        jnp.asarray(w_dim0), 16,
+                                        iters=3, final_iters=5)
+        cb_u = vq_train.kmeans(jax.random.PRNGKey(0), x, 16, iters=3,
+                               final_iters=5)
+        def dim0_err(cb, weighted):
+            if weighted:
+                d = jnp.sum(w_dim0[:, None, :] * (x[:, None, :] - cb) ** 2,
+                            -1)
+                a = jnp.argmin(d, -1)
+            else:
+                a = vq_train._assign(x, cb)
+            return float(((x[:, 0] - cb[a, 0]) ** 2).mean())
+        assert dim0_err(cb_w, True) < 0.5 * dim0_err(cb_u, False)
+
+
+class TestShippedCodebooks:
+    """The committed artifact (examples/codec_codebooks.bin, trained by
+    tools/train_codebooks.py on a 100k-frame augmented speech corpus)
+    must beat random placeholders by a wide margin on clean speech."""
+
+    def test_quality_on_clean_speech(self):
+        import os
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.codec.vq_train import _assign_chunked
+        from lpcnet_tpu.utils import weights_io
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "examples", "codec_codebooks.bin")
+        cbs = {k: jnp.asarray(v)
+               for k, v in weights_io.load_params(path).items()}
+        assert cbs["cb1"].shape == (1024, 17)
+        pcm = np.fromfile(os.path.join(os.path.dirname(__file__), "golden",
+                                       "speech.s16"), np.int16)
+        st = F.init_state(1)
+        _, feats, _ = F.compute_features(
+            st, jnp.asarray(pcm[None, :160 * 160].astype(np.float32)))
+        x = feats[0, :, 1:18]
+        r = x
+        for key in ("cb1", "cb2", "cb3"):
+            r = r - cbs[key][_assign_chunked(r, cbs[key])]
+        rms = float(jnp.sqrt(jnp.mean(jnp.sum(r * r, -1) / 18.0)))
+        # measured 0.047 on held-out; random placeholders measure 0.55
+        assert rms < 0.15, rms

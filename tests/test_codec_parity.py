@@ -116,11 +116,17 @@ class TestCodecParity:
         """The chunked CLI encode (fixed 64-frame jit shapes, padded
         trailing chunk) must be byte-identical to the single-call encode
         above: 50/50 whole packets."""
+        import jax
         from lpcnet_tpu import cli
+        from lpcnet_tpu.codec import codec
+        from lpcnet_tpu.utils import weights_io
         _, ours = packets
+        cbs = codec.default_codebooks(jax.random.PRNGKey(0))
+        weights_io.save_params(str(tmp_path / "cbs.bin"),
+                               {k: np.asarray(v) for k, v in cbs.items()})
         out = tmp_path / "pkts.bin"
         rc = cli.main(["encode", os.path.join(GOLDEN, "speech.s16"),
-                       str(out)])
+                       str(out), "--codebooks", str(tmp_path / "cbs.bin")])
         assert rc == 0
         cli_pkts = np.fromfile(out, np.uint8).reshape(-1, 8)[:len(ours)]
         assert (cli_pkts == ours).all(), (
