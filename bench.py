@@ -1,14 +1,22 @@
-"""Benchmark: batched LPCNet synthesis throughput on one TPU chip.
+"""Benchmark: batched LPCNet pipeline throughput on one TPU chip.
 
-Metric: real-time factor per chip = audio-seconds synthesized per wall-clock
-second, across all concurrent streams. The reference C runs ~1x real time on
-a CPU core (README.md:33, ~3 GFLOPS); BASELINE.md's driver target is >=300x
-per chip. Prints one JSON line.
+Headline metric (always printed, LAST, one JSON line): real-time factor
+per chip for synthesis = audio-seconds synthesized per wall-clock second
+across all concurrent streams. The reference C runs ~1x real time on a
+CPU core (README.md:33, ~3 GFLOPS); BASELINE.md's driver target is >=300x
+per chip.
 
-Env overrides: LPCNET_BENCH_BATCH (streams), LPCNET_BENCH_FRAMES (per call),
-LPCNET_BENCH_ITERS, LPCNET_BENCH_DEVICES=all (shard streams across every
-visible device and report aggregate RT + per-device scaling efficiency),
-LPCNET_PROFILE_DIR (write a jax.profiler trace).
+Per-stage benchmarks (LPCNET_BENCH_STAGES=all, one JSON line per stage,
+before the headline): features, encode, decode, plc_step, dred_encode,
+dred_decode, train_step — each reported as a real-time factor (audio
+seconds processed per second) or steps/s for training, plus an MFU
+estimate for the synthesis sample kernel.
+
+Env overrides: LPCNET_BENCH_BATCH (streams), LPCNET_BENCH_FRAMES (per
+call), LPCNET_BENCH_ITERS, LPCNET_BENCH_DEVICES=all (shard streams across
+every visible device and report aggregate RT + per-device scaling
+efficiency), LPCNET_BENCH_REAL_FEATURES=1 (synthesize from real speech
+features instead of random), LPCNET_PROFILE_DIR (jax.profiler trace).
 """
 import json
 import os
@@ -16,12 +24,213 @@ import time
 
 import numpy as np
 
+FRAME_SIZE = 160
+GOLDEN_SPEECH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "golden", "speech.s16")
 
-def main():
+
+def _timeit(fn, iters):
+    import jax
+    jax.block_until_ready(fn())          # compile + warmup
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _speech_features(batch, frames):
+    """Real-speech features tiled to the bench batch."""
     import jax
     import jax.numpy as jnp
 
+    from lpcnet_tpu import features as F
+    pcm = np.fromfile(GOLDEN_SPEECH, np.int16).astype(np.float32)
+    T = min(frames, len(pcm) // FRAME_SIZE // 4 * 4)
+    st = F.init_state(1)
+    _, feats, _ = jax.jit(F.compute_features)(
+        st, jnp.asarray(pcm[None, :T * FRAME_SIZE]))
+    reps = (frames + T - 1) // T
+    out = jnp.tile(feats, (batch, reps, 1))[:, :frames]
+    return out
+
+
+def _random_features(batch, frames):
+    import jax.numpy as jnp
+
     from lpcnet_tpu.constants import NB_TOTAL_FEATURES
+    rs = np.random.RandomState(0)
+    feats = np.zeros((batch, frames, NB_TOTAL_FEATURES), np.float32)
+    feats[..., :18] = rs.randn(batch, frames, 18) * 0.3
+    feats[..., 18] = rs.uniform(-1, 1, (batch, frames))
+    feats[..., 19] = rs.uniform(0, 1, (batch, frames))
+    return jnp.asarray(feats)
+
+
+def _rt(result_name, audio_seconds, dt, extra=None):
+    rt = audio_seconds / dt
+    d = {"metric": result_name, "value": round(rt, 2), "unit": "x_realtime",
+         "vs_baseline": round(rt, 2)}
+    if extra:
+        d.update(extra)
+    return d
+
+
+# --------------------------------------------------------------- stages
+
+def bench_features(batch=128, frames=64, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu import features as F
+    rs = np.random.RandomState(1)
+    pcm = jnp.asarray(rs.randn(batch, frames * FRAME_SIZE)
+                      .astype(np.float32) * 3000)
+    state = F.init_state(batch)
+    fn = jax.jit(lambda s, x: F.compute_features(s, x))
+    dt = _timeit(lambda: fn(state, pcm)[1], iters)
+    return _rt("features_rt_factor", batch * frames * FRAME_SIZE / 16000.0,
+               dt, {"batch": batch})
+
+
+def bench_codec(batch=128, n_sf=16, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu import features as F
+    from lpcnet_tpu.codec import codec
+    from lpcnet_tpu.constants import NB_BANDS
+    from lpcnet_tpu.utils import weights_io
+    from lpcnet_tpu.cli import DEFAULT_CODEBOOKS
+    if os.path.exists(DEFAULT_CODEBOOKS):
+        cbs = {k: jnp.asarray(v) for k, v in
+               weights_io.load_params(DEFAULT_CODEBOOKS).items()}
+    else:
+        cbs = codec.default_codebooks(jax.random.PRNGKey(0))
+    rs = np.random.RandomState(2)
+    pcm = jnp.asarray(rs.randn(batch, n_sf * 4 * FRAME_SIZE)
+                      .astype(np.float32) * 3000)
+    state = F.init_state(batch)
+    state, feats, sps = jax.jit(
+        lambda s, x: F.compute_features(s, x, quantize_pitch=True))(state,
+                                                                    pcm)
+    vq_mem = jnp.zeros((batch, NB_BANDS))
+    enc = jax.jit(lambda f, m, sp: codec.encode_superframe(cbs, f, m, sp))
+
+    def run_enc():
+        m = vq_mem
+        buf = None
+        for g in range(n_sf):
+            buf, _, m = enc(feats[:, 4 * g:4 * (g + 1)], m, sps[g])
+        return buf
+
+    dt_enc = _timeit(run_enc, iters)
+    bufs = run_enc()
+    dec = jax.jit(lambda b, m: codec.decode_packet(cbs, b, m))
+
+    def run_dec():
+        m = jnp.zeros((batch, NB_BANDS))
+        f = None
+        for g in range(n_sf):
+            f, m = dec(bufs, m)
+        return f
+
+    dt_dec = _timeit(run_dec, iters)
+    audio = batch * n_sf * 4 * FRAME_SIZE / 16000.0
+    return [_rt("encode_rt_factor", audio, dt_enc, {"batch": batch}),
+            _rt("decode_feat_rt_factor", audio, dt_dec, {"batch": batch})]
+
+
+def bench_plc(batch=128, frames=8, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu.models import lpcnet, plc as pm
+    from lpcnet_tpu.plc import PLCEngine
+    cfg = lpcnet.LPCNetConfig()
+    eng = PLCEngine(lpcnet.init_params(jax.random.PRNGKey(0), cfg),
+                    pm.init_params(jax.random.PRNGKey(1)), cfg)
+    state = eng.init_state(batch)
+    rs = np.random.RandomState(3)
+    pcm = jnp.asarray(rs.randn(batch, FRAME_SIZE).astype(np.float32) * 3000)
+    lost = jnp.asarray(rs.uniform(size=batch) < 0.2)
+
+    def run():
+        s = state
+        o = None
+        for _ in range(frames):
+            s, o = eng.step(s, pcm, lost)
+        return o
+
+    dt = _timeit(run, iters)
+    return _rt("plc_step_rt_factor", batch * frames * FRAME_SIZE / 16000.0,
+               dt, {"batch": batch})
+
+
+def bench_dred(batch=64, frames=64, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu.dred import DREDCodec
+    from lpcnet_tpu.models import rdovae as rv
+    params = rv.init_params(jax.random.PRNGKey(2), rv.RDOVAEConfig())
+    dc = DREDCodec(params)
+    rs = np.random.RandomState(4)
+    feats = jnp.asarray(rs.randn(batch, frames, 20).astype(np.float32) * .3)
+    enc = jax.jit(dc.encode)
+    dt_enc = _timeit(lambda: enc(feats)[0], iters)
+    zd, sd = enc(feats)
+    sym, qid = dc.quantize_payload(zd)
+    dec = jax.jit(lambda s, q, st: dc.decode(s, q, st))
+    dt_dec = _timeit(lambda: dec(sym, qid, sd[:, 0]), iters)
+    audio = batch * frames * FRAME_SIZE / 16000.0
+    return [_rt("dred_encode_rt_factor", audio, dt_enc, {"batch": batch}),
+            _rt("dred_decode_rt_factor", audio, dt_dec, {"batch": batch})]
+
+
+def bench_train(batch=64, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu.models import lpcnet
+    from lpcnet_tpu.training import lpcnet_task
+    cfg = lpcnet.LPCNetConfig()
+    params = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
+    opt = lpcnet_task.make_optimizer()
+    opt_state = opt.init(params)
+    rs = np.random.RandomState(5)
+    T = 15
+    batch_d = {
+        "sig_in": jnp.asarray(rs.randn(batch, T * FRAME_SIZE)
+                              .astype(np.float32) * 3000),
+        "sig_out": jnp.asarray(rs.randn(batch, T * FRAME_SIZE)
+                               .astype(np.float32) * 3000),
+        "features": jnp.asarray(rs.randn(batch, T + 4, 20)
+                                .astype(np.float32) * .3),
+        "periods": jnp.asarray(rs.randint(33, 255, (batch, T + 4)),
+                               jnp.int32),
+        "lpc": jnp.asarray(rs.randn(batch, T, 16).astype(np.float32) * .1),
+    }
+    rng = jax.random.PRNGKey(9)
+
+    def run():
+        p, o, m = lpcnet_task.train_step(params, opt_state, batch_d, rng,
+                                         cfg, opt)
+        return m["loss"]
+
+    dt = _timeit(run, iters)
+    samples_s = batch * T * FRAME_SIZE / dt
+    return {"metric": "train_step_samples_per_s",
+            "value": round(samples_s, 0), "unit": "samples/s",
+            "vs_baseline": round(1.0 / dt, 3), "batch": batch,
+            "steps_per_s": round(1.0 / dt, 3)}
+
+
+def bench_synthesis():
+    import jax
+    import jax.numpy as jnp
+
     from lpcnet_tpu.models import lpcnet
     from lpcnet_tpu.vocoder import Synthesizer
 
@@ -29,9 +238,9 @@ def main():
     frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
     iters = int(os.environ.get("LPCNET_BENCH_ITERS", "5"))
     backend = os.environ.get("LPCNET_BENCH_BACKEND", "auto")
-
     multi = os.environ.get("LPCNET_BENCH_DEVICES", "") == "all"
     profile_dir = os.environ.get("LPCNET_PROFILE_DIR")
+    real_feats = os.environ.get("LPCNET_BENCH_REAL_FEATURES", "") == "1"
 
     voc = Synthesizer(lpcnet.LPCNetConfig(), backend=backend)
     if multi:
@@ -43,12 +252,8 @@ def main():
         state = voc.reset(batch, per_stream_rng=True)
         synth_fn = voc.synthesize
 
-    rs = np.random.RandomState(0)
-    feats = np.zeros((batch, frames, NB_TOTAL_FEATURES), np.float32)
-    feats[..., :18] = rs.randn(batch, frames, 18) * 0.3
-    feats[..., 18] = rs.uniform(-1, 1, (batch, frames))
-    feats[..., 19] = rs.uniform(0, 1, (batch, frames))
-    feats = jnp.asarray(feats)
+    feats = (_speech_features(batch, frames) if real_feats
+             else _random_features(batch, frames))
 
     # compile + warmup
     state, pcm = synth_fn(state, feats)
@@ -70,6 +275,8 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(rt_factor / 1.0, 2),
     }
+    if real_feats:
+        result["features"] = "speech"
     if multi:
         n_dev = len(jax.devices())
         per_device = rt_factor / n_dev
@@ -77,6 +284,31 @@ def main():
         result.update(metric="synthesis_rt_factor_total", devices=n_dev,
                       per_device=round(per_device, 2),
                       vs_baseline=round(per_device, 2))
+    return result, rt_factor, batch
+
+
+def sample_kernel_mfu(rt_factor, batch):
+    """Model-FLOPs utilization of the AR sample loop: the per-sample
+    per-stream work is ~470k MACs (GRU-A recurrent 384x1152 dominates,
+    nnet.c:410-448), vs a v5e bf16 peak of 197 TFLOP/s."""
+    cfg_flops = 2 * (384 * 1152 + 384 * 48 + 16 * 48 + 2 * 16 * 256)
+    model_flops = cfg_flops * rt_factor * 16000.0
+    peak = 197e12
+    return {"metric": "sample_kernel_mfu", "value":
+            round(100.0 * model_flops / peak, 3), "unit": "percent_peak",
+            "vs_baseline": round(model_flops / 1e12, 3),
+            "model_tflops": round(model_flops / 1e12, 3)}
+
+
+def main():
+    stages = os.environ.get("LPCNET_BENCH_STAGES", "")
+    if stages:
+        for r in ([bench_features()] + bench_codec() + [bench_plc()]
+                  + bench_dred() + [bench_train()]):
+            print(json.dumps(r), flush=True)
+    result, rt, batch = bench_synthesis()
+    if stages:
+        print(json.dumps(sample_kernel_mfu(rt, batch)), flush=True)
     print(json.dumps(result))
 
 

@@ -140,9 +140,16 @@ def cmd_synthesis(args) -> int:
     feats = read_features(args.input)
     params, cfg = load_lpcnet_model(args.weights)
     voc = Synthesizer(cfg, params=params, backend=args.backend)
+    if args.temperature and (args.streaming or voc.backend == "pallas"):
+        print("error: --temperature needs the batched scan backend "
+              "(pass --backend scan, no --streaming)", file=sys.stderr)
+        return 1
     if args.streaming:
         state = voc.reset_streaming(1)
         synth = voc.synthesize_streaming
+    elif args.temperature:
+        state = voc.reset(1)
+        synth = voc.synthesize_temperature
     else:
         state = voc.reset(1)
         synth = voc.synthesize
@@ -861,6 +868,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--streaming", action="store_true",
                    help="reference-exact causal mode (C-matched warm-up "
                         "silence, conv delay lines; scan backend)")
+    s.add_argument("--temperature", action="store_true",
+                   help="voiced-frame sharpening + 0.002 pdf floor "
+                        "(training_tf2/test_lpcnet.py sampling; scan "
+                        "backend)")
     s.set_defaults(fn=cmd_synthesis)
 
     s = sub.add_parser("encode", help="PCM -> 1.6 kb/s packets")

@@ -85,12 +85,35 @@ def _gru(h, zrh_in, wr, br, approx):
     return z * h + (1.0 - z) * hcand
 
 
+def _sample_temperature(logits: jax.Array, rng: jax.Array,
+                        temp_exp: jax.Array, approx: bool):
+    """Temperature/PDF-floor sampling (training_tf2/test_lpcnet.py:131-138):
+    expand the tree nodes to a 256-way pdf, sharpen voiced frames with
+    p *= p^temp_exp, cut the tail below 0.002, and draw by inverse CDF
+    from one KISS99 uniform. A quality knob for deployments — the stock
+    tree sampler (temp_exp None) is the C-bit-exact path."""
+    from ..training.losses import tree_to_pdf
+    sig = activations.get("sigmoid", approx)
+    pdf = tree_to_pdf(sig(logits))
+    pdf = pdf * jnp.power(jnp.maximum(pdf, 1e-18), temp_exp[..., None])
+    pdf = pdf / (1e-18 + jnp.sum(pdf, -1, keepdims=True))
+    pdf = jnp.maximum(pdf - 0.002, 0.0)
+    pdf = pdf / (1e-8 + jnp.sum(pdf, -1, keepdims=True))
+    rng, r = kiss99_next(rng)
+    u = r.astype(jnp.float32) / np.float32(4294967296.0)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    exc = jnp.sum((cdf < u[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.clip(exc, 0, 255), rng
+
+
 def sample_step(tables: Dict[str, Any], state: Dict[str, jax.Array],
                 cond_a: jax.Array, cond_b: jax.Array, lpc: jax.Array,
                 approx: bool, preemph: float,
                 target: Optional[jax.Array] = None,
-                teacher_mask: Optional[jax.Array] = None):
-    """One 1/16000 s step for all streams. cond_*: (B, 3N), lpc: (B, 16)."""
+                teacher_mask: Optional[jax.Array] = None,
+                temp_exp: Optional[jax.Array] = None):
+    """One 1/16000 s step for all streams. cond_*: (B, 3N), lpc: (B, 16).
+    temp_exp: optional (B,) sharpening exponent (temperature mode)."""
     # 1. LPC prediction (lpcnet.c:252)
     pred = -jnp.sum(state["last_sig"] * lpc, axis=-1)
     # 2. quantize inputs
@@ -110,7 +133,11 @@ def sample_step(tables: Dict[str, Any], state: Dict[str, jax.Array],
     act = activations.get("tanh", approx)
     y = jnp.einsum("bi,cio->bco", gru_b, dfc["w"]) + dfc["b"]
     logits = jnp.sum(act(y) * dfc["factor"], axis=-2)
-    exc, rng = _sample_tree(logits, state["rng"])
+    if temp_exp is not None:
+        exc, rng = _sample_temperature(logits, state["rng"], temp_exp,
+                                       approx)
+    else:
+        exc, rng = _sample_tree(logits, state["rng"])
     # 7. excitation -> signal
     if target is not None:
         tf_sig = target - preemph * state["deemph"]
@@ -177,7 +204,8 @@ def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
 def synthesize_frames(tables: Dict[str, Any], state: Dict[str, jax.Array],
                       conds: Dict[str, jax.Array], cfg,
                       target: Optional[jax.Array] = None,
-                      preload: Optional[jax.Array] = None
+                      preload: Optional[jax.Array] = None,
+                      temp_exp: Optional[jax.Array] = None
                       ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """Synthesize T frames for B streams.
 
@@ -185,6 +213,8 @@ def synthesize_frames(tables: Dict[str, Any], state: Dict[str, jax.Array],
     target: optional (B, T*frame_size) teacher waveform (float, 16-bit range)
     preload: optional (B, T) int32 — per frame, samples [0, preload) are
              teacher-forced (lpcnet_synthesize_impl's preload arg).
+    temp_exp: optional (B, T) per-frame sharpening exponents (temperature
+             sampling mode, training_tf2/test_lpcnet.py:131-138).
     Returns (new_state, pcm (B, T*frame_size) float32 of rounded samples).
     """
     B, T = conds["cond_a"].shape[:2]
@@ -215,14 +245,22 @@ def synthesize_frames(tables: Dict[str, Any], state: Dict[str, jax.Array],
         state, pcm = jax.lax.scan(frame_body, state,
                                   (cond_a, cond_b, lpc, tgt, pre))
     else:
+        te = temp_exp.transpose(1, 0) if temp_exp is not None else None
+
         def frame_body(state, frame_inputs):
-            ca, cb, lp = frame_inputs
+            if te is not None:
+                ca, cb, lp, tx = frame_inputs
+            else:
+                (ca, cb, lp), tx = frame_inputs, None
 
             def samp_body(st, _):
-                return sample_step(tables, st, ca, cb, lp, approx, preemph)
+                return sample_step(tables, st, ca, cb, lp, approx, preemph,
+                                   temp_exp=tx)
 
             return jax.lax.scan(samp_body, state, jnp.arange(fs))
 
-        state, pcm = jax.lax.scan(frame_body, state, (cond_a, cond_b, lpc))
+        xs = (cond_a, cond_b, lpc, te) if te is not None \
+            else (cond_a, cond_b, lpc)
+        state, pcm = jax.lax.scan(frame_body, state, xs)
     # pcm: (T, fs, B) -> (B, T*fs)
     return state, pcm.transpose(2, 0, 1).reshape(B, T * fs)

@@ -75,6 +75,22 @@ class Synthesizer:
         of rounded int16-range samples)."""
         return self._synth(state, features)
 
+    def synthesize_temperature(self, state, features: jax.Array):
+        """Temperature/PDF-floor sampling (training_tf2/test_lpcnet.py:
+        131-138): voiced frames are sharpened with p *= p^max(0,
+        1.5*corr_feat - 0.5) and the pdf tail below 0.002 is cut — less
+        noisy voiced segments at the price of leaving the C-bit-exact
+        sampling path. scan backend only."""
+        if not hasattr(self, "_synth_temp"):
+            def impl(state, features):
+                conds = lpcnet.frame_conditions(self.params, features,
+                                                self.cfg, self.tables)
+                texp = jnp.maximum(0.0, 1.5 * features[..., 19] - 0.5)
+                return sample_scan.synthesize_frames(
+                    self.tables, state, conds, self.cfg, temp_exp=texp)
+            self._synth_temp = jax.jit(impl)
+        return self._synth_temp(state, features)
+
     def synthesize_teacher(self, state, features, target, preload):
         """Teacher-forced synthesis (the C 'preload' mode, lpcnet.c:256-261):
         per frame, samples [0, preload[b,t]) follow `target` instead of the

@@ -168,6 +168,37 @@ class TestScanVsNumpyTwin:
         assert np.all(pcm == np.round(pcm))
 
 
+class TestTemperatureSampling:
+    """Temperature/PDF-floor mode (training_tf2/test_lpcnet.py:131-138):
+    sharpening must reduce sampling noise on voiced (high-corr) frames and
+    leave unvoiced (corr <= 1/3 => exponent 0, floor only) mostly alone."""
+
+    def _synth(self, corr_feat, temperature):
+        voc = Synthesizer(CFG, params=lpcnet.init_params(
+            jax.random.PRNGKey(5), CFG), backend="scan")
+        rs = np.random.RandomState(6)
+        feats = np.zeros((4, 12, NB_TOTAL_FEATURES), np.float32)
+        feats[..., :18] = rs.randn(4, 12, 18) * 0.3
+        feats[..., 18] = 0.2
+        feats[..., 19] = corr_feat
+        state = voc.reset(4, per_stream_rng=True)
+        fn = voc.synthesize_temperature if temperature else voc.synthesize
+        _, pcm = fn(state, jnp.asarray(feats))
+        return np.asarray(pcm)
+
+    def test_voiced_sharpening_reduces_noise(self):
+        base = self._synth(0.5, False)    # corr feat 0.5 -> exponent 1.0
+        temp = self._synth(0.5, True)
+        assert not np.array_equal(base, temp)
+        jitter = lambda x: float(np.mean(np.diff(x, axis=-1) ** 2))
+        assert jitter(temp) < jitter(base), (jitter(temp), jitter(base))
+
+    def test_output_valid(self):
+        temp = self._synth(0.0, True)
+        assert np.isfinite(temp).all()
+        assert temp.min() >= -32767 and temp.max() <= 32767
+
+
 class TestConvStreamingEquivalence:
     def test_conv_step_matches_same_padding(self):
         rng = jax.random.PRNGKey(1)
