@@ -88,6 +88,20 @@ def build_pairs(pcm: np.ndarray, lpc: np.ndarray, noise: np.ndarray
     return res
 
 
+_FEATURE_STEP_CACHE: Dict[object, object] = {}
+
+
+def _feature_step_fn(quantize: bool):
+    """Module-cached jitted feature step: a fresh jax.jit(lambda) per
+    prepare_training_data call would miss jax's compile cache and
+    recompile on EVERY augmentation pass (minutes x passes)."""
+    if quantize not in _FEATURE_STEP_CACHE:
+        import jax
+        _FEATURE_STEP_CACHE[quantize] = jax.jit(
+            lambda s, p: F.compute_features(s, p, quantize_pitch=quantize))
+    return _FEATURE_STEP_CACHE[quantize]
+
+
 def prepare_training_data(pcm: np.ndarray, seed: int = 0,
                           batch_streams: int = 8,
                           include_burg: bool = False,
@@ -126,12 +140,15 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
     chunk = 256
     feat_parts = []
     quant = quantize_codebooks is not None
-    step_fn = jax.jit(
-        lambda s, p: F.compute_features(s, p, quantize_pitch=quant))
+    step_fn = _feature_step_fn(quant)
     if quant:
         from .codec import codec
-        enc_fn = jax.jit(lambda f4, m, sp: codec.encode_superframe(
-            quantize_codebooks, f4, m, sp))
+        key = ("enc", id(quantize_codebooks))
+        if key not in _FEATURE_STEP_CACHE:
+            _FEATURE_STEP_CACHE[key] = jax.jit(
+                lambda f4, m, sp: codec.encode_superframe(
+                    quantize_codebooks, f4, m, sp))
+        enc_fn = _FEATURE_STEP_CACHE[key]
         vq_mem = jnp.zeros((1, 18))
     for t0 in range(0, T, chunk):
         t1 = min(T, t0 + chunk)

@@ -18,7 +18,9 @@ TPU-native choices:
 Weights are expected in float32 (2.5 MB) - fits VMEM with room for a
 batch tile of a few hundred streams.
 
-Perf experiments tried and rejected on v5e (2026-08, keep for later rounds):
+Perf experiments tried and rejected on v5e (2026-08, keep for later rounds;
+baseline for all numbers: variant="base", tile 256, B=1024 -> ~2730x RT,
+3.76 ms per 50-frame call):
   * single-launch grid=(tiles, frames) with VMEM-carried state: ~10%
     slower than lax.scan over per-frame launches (XLA overlaps the next
     frame's conditioning with the running kernel).
@@ -30,12 +32,25 @@ Perf experiments tried and rejected on v5e (2026-08, keep for later rounds):
     crashes Mosaic's VectorLayoutInferer::inferReshape ("arr.size() >=
     layout_rank(implicit_dim) (1 vs. 2)"), though the same read pattern
     compiles in isolation. Re-try when Mosaic updates.
+  * variant="fuse": the 3 mu-law one-hot matmuls fused into ONE
+    (B,768)x(768,1152) product + the dual-FC channels into one
+    (B,16)x(16,512): measured -6% (2546x) — the wider one-hot iota/
+    compare costs more VPU time than the saved MXU issues.
+  * variant="opt" (fuse + software-pipelined thresholds, drawing the NEXT
+    sample's thresholds each iteration so they leave the serialized
+    chain): -11% total (2428x) — Mosaic executes the body in order, so
+    the "pipelining" only adds 8 (B,) loop-carry registers of overhead.
+    Both variants remain selectable and bit-identical to base
+    (test_pallas_kernel.py) for re-testing on future toolchains.
+  * batch tile 512 / 1024 (fewer serialized tile launches per frame):
+    fails TPU compilation — VMEM overflow (weights 5.6 MB + per-sample
+    (B,1152)-class temporaries exceed 16 MB at tile 512).
   * ablation (bt=128): replacing the mu-law indices with constants lets
     the compiler hoist the one-hot matmuls out of the loop and the frame
     drops 0.26 -> 0.06 ms — i.e. the loop is bound by the serialized
     data-dependent chain (pred -> mu-law -> gather -> GRU -> sample),
-    not by any single op's throughput. Bigger wins need restructuring
-    (e.g. speculating both tree branches), not op-level tuning.
+    not by any single op's throughput. Bigger wins need restructuring,
+    and the restructurings tried so far all measured negative.
 """
 import functools
 from typing import Any, Dict, Tuple
@@ -176,6 +191,103 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
     return jax.lax.fori_loop(0, nsamples, body, carry)
 
 
+def _synth_loop_opt(weights, cond_a, cond_b, lpc, carry, write_pcm,
+                    nsamples: int, preemph: float, wdtype,
+                    pipeline_thr: bool = True):
+    """Critical-path-shortened variant of _synth_loop:
+      * the 3 mu-law one-hot matmuls fuse into ONE (B,768)x(768,3Na)
+        product (one MXU issue instead of three serialized ones)
+      * the dual-FC channels fuse into one (B,16)x(16,512) matmul
+      * the sampling thresholds (data-independent KISS99 draws + logit
+        table lookups) are software-pipelined: each iteration computes the
+        NEXT sample's thresholds, so they are off the serialized
+        pred->ulaw->GRU->sample chain. The RNG consumption order matches
+        the base loop draw-for-draw (the last iteration's lookahead draw
+        is rolled back), so output is bit-identical to _synth_loop."""
+    (tbl_cat, wr_a, br_a, wi_b, wr_b, br_b,
+     dfc_w12, dfc_b, dfc_f, logit_tbl) = weights
+    na = wr_a.shape[0]
+    B = cond_a.shape[0]
+
+    def gru(h, zrh, wr, br):
+        n = h.shape[1]
+        recur = jnp.dot(h, wr, preferred_element_type=jnp.float32) + br
+        z = _sigmoid(zrh[:, :n] + recur[:, :n])
+        r = _sigmoid(zrh[:, n:2 * n] + recur[:, n:2 * n])
+        hc = jnp.tanh(zrh[:, 2 * n:] + r * recur[:, 2 * n:])
+        return z * h + (1.0 - z) * hc
+
+    def draw_thresholds(rng):
+        # returns a TUPLE of 8 (B,) vectors: stacking them into one (8, B)
+        # array crashes Mosaic's VectorLayoutInferer (same inferReshape
+        # class as the round-1 threshold-hoisting note)
+        rng, r1 = _kiss99(rng)
+        rng, r2 = _kiss99(rng)
+        rows = []
+        for r in (r1, r2):
+            for k in range(4):
+                b = ((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                rows.append(jnp.sum(_onehot(b, 256) * logit_tbl, axis=1))
+        return rng, tuple(rows)
+
+    gru_a0, gru_b0, last_sig0, exc0, deemph0, rng0 = carry
+    if pipeline_thr:
+        rng0, thr0 = draw_thresholds(rng0)
+    else:
+        thr0 = tuple(jnp.zeros_like(deemph0) for _ in range(8))
+
+    def body(i, carry):
+        gru_a, gru_b, last_sig, last_exc, deemph, rng, thr = carry
+        if pipeline_thr:
+            # next sample's thresholds: independent of this sample's chain
+            rng_n, thr_n = draw_thresholds(rng)
+            keep = (i < nsamples - 1)  # last lookahead draw is rolled back
+            rng_n = jnp.where(keep, rng_n, rng)
+            # thr_n of the last iteration is discarded with the carry;
+            # only the rng rollback matters for stream identity
+        else:
+            rng_n, thr = draw_thresholds(rng)
+            thr_n = thr
+        pred = -jnp.sum(last_sig * lpc, axis=1)
+        lsu = _lin2ulaw(last_sig[:, 0])
+        pu = _lin2ulaw(pred)
+        # one fused one-hot over [sig | pred | exc] lanes
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, 768), 1)
+        oh = ((cols == lsu[:, None]) | (cols == pu[:, None] + 256)
+              | (cols == last_exc[:, None] + 512)).astype(wdtype)
+        zrh_a = cond_a + jnp.dot(oh, tbl_cat,
+                                 preferred_element_type=jnp.float32)
+        gru_a = gru(gru_a, zrh_a, wr_a, br_a)
+        zrh_b = cond_b + jnp.dot(gru_a, wi_b,
+                                 preferred_element_type=jnp.float32)
+        gru_b = gru(gru_b, zrh_b, wr_b, br_b)
+        y12 = jnp.tanh(jnp.dot(gru_b, dfc_w12,
+                               preferred_element_type=jnp.float32)
+                       + dfc_b)                     # (B, 512)
+        logits = (y12[:, :256] * dfc_f[0:1, :]
+                  + y12[:, 256:] * dfc_f[1:2, :])
+        val = jnp.zeros((B,), jnp.int32)
+        for b in range(8):
+            idx = val | (1 << b)
+            logit = jnp.sum(logits * _onehot(idx, 256), axis=1)
+            bit = (thr[b] < logit).astype(jnp.int32)
+            val = (val << 1) | bit
+        exc = val
+        pcm = pred + _ulaw2lin(exc)
+        last_sig = jnp.concatenate([pcm[:, None], last_sig[:, :-1]], axis=1)
+        out = pcm + preemph * deemph
+        deemph = out
+        out = jnp.clip(out, -32767.0, 32767.0)
+        out = jnp.floor(0.5 + out)
+        write_pcm(i, out)
+        return gru_a, gru_b, last_sig, exc, deemph, rng_n, thr_n
+
+    out = jax.lax.fori_loop(
+        0, nsamples, body,
+        (gru_a0, gru_b0, last_sig0, exc0, deemph0, rng0, thr0))
+    return out[:6]
+
+
 def _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref, wr_a_ref,
                   br_a_ref, wi_b_ref, wr_b_ref, br_b_ref, dfc_w1_ref,
                   dfc_w2_ref, dfc_b_ref, dfc_f_ref, logit_tbl_ref):
@@ -214,6 +326,34 @@ def _frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
     rng_out[:] = rng
 
 
+def _frame_kernel_opt(cond_a_ref, cond_b_ref, lpc_ref,
+                      tbl_cat_ref, wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
+                      br_b_ref, dfc_w12_ref, dfc_b_ref, dfc_f_ref,
+                      logit_tbl_ref,
+                      gru_a_in, gru_b_in, sig_in, exc_in, deemph_in, rng_in,
+                      gru_a_out, gru_b_out, sig_out, exc_out, deemph_out,
+                      rng_out, pcm_ref, *, nsamples: int, preemph: float,
+                      wdtype=jnp.float32, pipeline_thr: bool = True):
+    weights = tuple(r[:] for r in (
+        tbl_cat_ref, wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
+        dfc_w12_ref, dfc_b_ref, dfc_f_ref, logit_tbl_ref))
+    init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
+            deemph_in[:, 0], rng_in[:])
+
+    def write_pcm(i, out):
+        pcm_ref[i, :] = out
+
+    gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop_opt(
+        weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
+        nsamples, preemph, wdtype, pipeline_thr=pipeline_thr)
+    gru_a_out[:] = gru_a
+    gru_b_out[:] = gru_b
+    sig_out[:] = last_sig
+    exc_out[:] = exc[:, None]
+    deemph_out[:] = deemph[:, None]
+    rng_out[:] = rng
+
+
 MAX_BATCH_TILE = 256  # VMEM budget: weights ~5.5 MB + per-tile activations
 
 
@@ -222,24 +362,28 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
                             cond_a: jax.Array, cond_b: jax.Array,
                             lpc: jax.Array, cfg,
                             interpret: bool = False,
-                            table_dtype=jnp.float32):
+                            table_dtype=jnp.float32,
+                            variant: str = "base"):
     """Synthesize one frame (B, 160) with the fused kernel.
 
     cond_a: (B, 3Na), cond_b: (B, 3Nb), lpc: (B, 16). Batches above
     MAX_BATCH_TILE run as a grid of stream tiles; the weight blocks have a
     constant index map so they stay VMEM-resident across tiles.
-    Returns (new_state, pcm (B, 160))."""
+    variant: 'opt' (fused embed/dual-FC matmuls + pipelined thresholds,
+    bit-identical output) or 'base'. Returns (new_state, pcm (B, 160))."""
     B = cond_a.shape[0]
     fs = cfg.frame_size
     dfc = tables["dual_fc"]
     logit_tbl = jnp.asarray(SAMPLING_LOGIT_TABLE)[None, :]
+    opt = variant in ("opt", "fuse")
 
     bt = min(B, MAX_BATCH_TILE)
     assert B % bt == 0, f"batch {B} must be a multiple of {bt}"
+    n_weights = 10 if opt else 13
     if B == bt:
         # single tile: full-array blocks, no grid pipeline copies (fastest)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        in_specs = [full] * 22
+        in_specs = [full] * (9 + n_weights)
         out_specs = tuple([full] * 7)
         grid = None
     else:
@@ -257,16 +401,30 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
 
     na, nb = cfg.gru_a_units, cfg.gru_b_units
     if grid is not None:
-        in_specs = [
-            bspec(3 * na), bspec(3 * nb), bspec(LPC_ORDER),
-            wspec((256, 3 * na)), wspec((256, 3 * na)), wspec((256, 3 * na)),
-            wspec((na, 3 * na)), wspec((1, 3 * na)), wspec((na, 3 * nb)),
-            wspec((nb, 3 * nb)), wspec((1, 3 * nb)),
-            wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
-            wspec((2, 256)), wspec((1, 256)),
-            bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
-            bspec(4),
-        ]
+        if opt:
+            weight_specs = [
+                wspec((768, 3 * na)),
+                wspec((na, 3 * na)), wspec((1, 3 * na)),
+                wspec((na, 3 * nb)), wspec((nb, 3 * nb)),
+                wspec((1, 3 * nb)),
+                wspec((nb, 512)), wspec((1, 512)), wspec((2, 256)),
+                wspec((1, 256)),
+            ]
+        else:
+            weight_specs = [
+                wspec((256, 3 * na)), wspec((256, 3 * na)),
+                wspec((256, 3 * na)),
+                wspec((na, 3 * na)), wspec((1, 3 * na)),
+                wspec((na, 3 * nb)), wspec((nb, 3 * nb)),
+                wspec((1, 3 * nb)),
+                wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
+                wspec((2, 256)), wspec((1, 256)),
+            ]
+        in_specs = (
+            [bspec(3 * na), bspec(3 * nb), bspec(LPC_ORDER)]
+            + weight_specs
+            + [bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
+               bspec(4)])
         out_specs = (
             bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
             bspec(4),
@@ -282,8 +440,29 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
         jax.ShapeDtypeStruct((B, 4), jnp.uint32),
         jax.ShapeDtypeStruct((fs, B), jnp.float32),
     )
-    kernel = functools.partial(_frame_kernel, nsamples=fs,
-                               preemph=cfg.preemph, wdtype=table_dtype)
+    if opt:
+        kernel = functools.partial(_frame_kernel_opt, nsamples=fs,
+                                   preemph=cfg.preemph, wdtype=table_dtype,
+                                   pipeline_thr=variant == "opt")
+        tbl_cat = jnp.concatenate(
+            [tables["tbl_sig"], tables["tbl_pred"], tables["tbl_exc"]],
+            axis=0).astype(table_dtype)
+        weight_args = (
+            tbl_cat, tables["wr_a"], tables["br_a"][None, :],
+            tables["wi_b"], tables["wr_b"], tables["br_b"][None, :],
+            jnp.concatenate([dfc["w"][0], dfc["w"][1]], axis=1),
+            jnp.concatenate([dfc["b"][0], dfc["b"][1]])[None, :],
+            dfc["factor"], logit_tbl)
+    else:
+        kernel = functools.partial(_frame_kernel, nsamples=fs,
+                                   preemph=cfg.preemph, wdtype=table_dtype)
+        weight_args = (
+            tables["tbl_sig"].astype(table_dtype),
+            tables["tbl_pred"].astype(table_dtype),
+            tables["tbl_exc"].astype(table_dtype),
+            tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
+            tables["wr_b"], tables["br_b"][None, :],
+            dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"], logit_tbl)
     call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
                        out_specs=out_specs, interpret=interpret)
     if grid is not None:
@@ -291,13 +470,7 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
     outs = pl.pallas_call(
         kernel,
         **call_kwargs,
-    )(cond_a, cond_b, lpc,
-      tables["tbl_sig"].astype(table_dtype),
-      tables["tbl_pred"].astype(table_dtype),
-      tables["tbl_exc"].astype(table_dtype),
-      tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
-      tables["wr_b"], tables["br_b"][None, :],
-      dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"], logit_tbl,
+    )(cond_a, cond_b, lpc, *weight_args,
       state["gru_a"], state["gru_b"], state["last_sig"],
       state["last_exc"][:, None].astype(jnp.int32),
       state["deemph"][:, None], state["rng"])
@@ -318,7 +491,8 @@ def _pad_batch(tree, B: int, Bp: int):
 
 def synthesize_frames_pallas(tables, state, conds, cfg,
                              interpret: bool = False,
-                             table_dtype=jnp.float32):
+                             table_dtype=jnp.float32,
+                             variant: str = "base"):
     """Multi-frame synthesis: lax.scan over frames, fused kernel per frame.
     (A single-launch grid=(tiles, frames) variant with VMEM-carried state
     measured ~10% SLOWER on v5e than scanning launches — XLA overlaps the
@@ -336,7 +510,7 @@ def synthesize_frames_pallas(tables, state, conds, cfg,
         conds = _pad_batch(conds, B, Bp)
         new_state, pcm = synthesize_frames_pallas(
             tables, state, conds, cfg, interpret=interpret,
-            table_dtype=table_dtype)
+            table_dtype=table_dtype, variant=variant)
         return (jax.tree.map(lambda x: x[:B], new_state), pcm[:B])
     tables = dict(tables,
                   tbl_sig=tables["tbl_sig"].astype(table_dtype),
@@ -347,7 +521,8 @@ def synthesize_frames_pallas(tables, state, conds, cfg,
         ca, cb, lp = inp
         st, pcm = synthesize_frame_pallas(tables, st, ca, cb, lp, cfg,
                                           interpret=interpret,
-                                          table_dtype=table_dtype)
+                                          table_dtype=table_dtype,
+                                          variant=variant)
         return st, pcm
 
     state, pcm = jax.lax.scan(

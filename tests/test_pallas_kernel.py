@@ -45,3 +45,19 @@ class TestPallasKernel:
                                       np.asarray(st_scan["last_exc"]))
         np.testing.assert_array_equal(np.asarray(st_pal["rng"]),
                                       np.asarray(st_scan["rng"]))
+
+    @pytest.mark.parametrize("variant", ["fuse", "opt"])
+    def test_variants_bit_identical(self, setup, variant):
+        """The fused/pipelined restructurings (measured slower on v5e,
+        kept for re-testing — see sample_pallas.py docstring) must stay
+        bit-identical to the base kernel, RNG state included."""
+        voc, conds = setup
+        B = conds["cond_a"].shape[0]
+        state = voc.reset(B, per_stream_rng=True)
+        st_b, pcm_b = sample_pallas.synthesize_frames_pallas(
+            voc.tables, state, conds, CFG, interpret=True, variant="base")
+        st_v, pcm_v = sample_pallas.synthesize_frames_pallas(
+            voc.tables, state, conds, CFG, interpret=True, variant=variant)
+        np.testing.assert_array_equal(np.asarray(pcm_v), np.asarray(pcm_b))
+        np.testing.assert_array_equal(np.asarray(st_v["rng"]),
+                                      np.asarray(st_b["rng"]))
