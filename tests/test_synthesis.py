@@ -246,3 +246,74 @@ class TestDemoCheckpoint:
         ac = float(np.corrcoef(y[:-lag], y[lag:])[0, 1])
         assert ac > 0.1, ac                      # periodic at the cond pitch
         assert 20 < np.sqrt((y ** 2).mean()) < 20000
+
+
+class TestSpeechCheckpoints:
+    """The committed REAL-SPEECH-trained checkpoints (examples/README.md):
+    the vocoder must synthesize strongly pitch-periodic audio from real
+    speech features, and the PLC net must beat the predict-zero baseline
+    on lost frames."""
+
+    def test_speech_vocoder(self):
+        import os
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.utils import weights_io
+        path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "speech_lpcnet_params.bin")
+        params = jax.tree.map(jnp.asarray, weights_io.load_params(path))
+        voc = Synthesizer(CFG, params=params, backend="scan")
+        pcm = np.fromfile(os.path.join(os.path.dirname(__file__), "golden",
+                                       "speech.s16"),
+                          np.int16).astype(np.float32)
+        T = 60
+        st = F.init_state(1)
+        st, feats, _ = jax.jit(F.compute_features)(
+            st, jnp.asarray(pcm[None, :T * 160]))
+        state = voc.reset(1)
+        _, out = voc.synthesize(state, feats)
+        x = np.asarray(out[0])
+        periods = np.clip(np.floor(
+            0.1 + 50 * np.asarray(feats[0, :, 18]) + 100), 33, 255
+        ).astype(int)
+        acs = []
+        for t in range(4, T - 2):
+            seg = x[t * 160:(t + 1) * 160 + 256]
+            lag = periods[t]
+            if len(seg) > lag + 160 and seg[:160].std() > 1:
+                a = np.corrcoef(seg[:160], seg[lag:lag + 160])[0, 1]
+                if np.isfinite(a):
+                    acs.append(a)
+        assert np.mean(acs) > 0.5, np.mean(acs)   # measured +0.90
+        rms = x.std()
+        assert 500 < rms < 15000, rms             # measured 3234
+
+    def test_speech_plc_net(self):
+        import os
+        from lpcnet_tpu.models import plc as pm
+        from lpcnet_tpu.ops import burg as burg_ops
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.utils import weights_io
+        path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "speech_plc_params.bin")
+        params = jax.tree.map(jnp.asarray, weights_io.load_params(path))
+        pcm = np.fromfile(os.path.join(os.path.dirname(__file__), "golden",
+                                       "speech.s16"),
+                          np.int16).astype(np.float32)
+        T = 80
+        st = F.init_state(1)
+        st, feats, _ = jax.jit(F.compute_features)(
+            st, jnp.asarray(pcm[None, :T * 160]))
+        frames = jnp.asarray(pcm[:T * 160].reshape(T, 160))
+        burg36 = np.asarray(jax.jit(burg_ops.burg_cepstral_analysis)(frames))
+        f56 = np.concatenate([burg36, np.asarray(feats[0, :, :20])], -1)
+        rs = np.random.RandomState(7)
+        lost = (rs.uniform(size=T) < 0.25).astype(np.float32)
+        recv = 1 - lost
+        cfg = pm.PLCConfig()
+        inp = jnp.asarray(np.concatenate(
+            [f56 * recv[:, None], recv[:, None]], -1)[None])
+        pred = np.asarray(pm.forward_sequence(params, inp, cfg)[0])
+        tgt = f56[:, 36:56]
+        err = np.abs(pred - tgt)[lost > 0].mean()
+        base = np.abs(tgt)[lost > 0].mean()
+        assert err < 0.7 * base, (err, base)      # measured 0.42 vs 1.01
