@@ -153,17 +153,11 @@ def bench_plc(batch=128, frames=8, iters=3):
                     pm.init_params(jax.random.PRNGKey(1)), cfg)
     state = eng.init_state(batch)
     rs = np.random.RandomState(3)
-    pcm = jnp.asarray(rs.randn(batch, FRAME_SIZE).astype(np.float32) * 3000)
-    lost = jnp.asarray(rs.uniform(size=batch) < 0.2)
+    pcm = jnp.asarray(rs.randn(batch, frames * FRAME_SIZE)
+                      .astype(np.float32) * 3000)
+    lost = jnp.asarray(rs.uniform(size=(batch, frames)) < 0.2)
 
-    def run():
-        s = state
-        o = None
-        for _ in range(frames):
-            s, o = eng.step(s, pcm, lost)
-        return o
-
-    dt = _timeit(run, iters)
+    dt = _timeit(lambda: eng.run(state, pcm, lost)[1], iters)
     return _rt("plc_step_rt_factor", batch * frames * FRAME_SIZE / 16000.0,
                dt, {"batch": batch})
 

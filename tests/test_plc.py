@@ -99,6 +99,25 @@ class TestPLCEngine:
                 out[1], pcm[1, t * FRAME_SIZE:(t + 1) * FRAME_SIZE],
                 atol=1e-3)
 
+    def test_run_matches_step_loop(self, engine):
+        """run() (one jitted scan over frames) must equal T step() calls."""
+        import jax
+        rs = np.random.RandomState(11)
+        B, T = 2, 4
+        pcm = rs.randn(B, T * 160).astype(np.float32) * 2000
+        lost = rs.uniform(size=(B, T)) < 0.4
+        s1 = engine.init_state(B)
+        outs = []
+        for t in range(T):
+            s1, o = engine.step(s1, jnp.asarray(pcm[:, t * 160:
+                                                    (t + 1) * 160]),
+                                jnp.asarray(lost[:, t]))
+            outs.append(np.asarray(o))
+        ref = np.concatenate(outs, axis=-1)
+        s2 = engine.init_state(B)
+        s2, out = engine.run(s2, jnp.asarray(pcm), jnp.asarray(lost))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
     def test_fec_queue(self, engine):
         B = 2
         state = engine.init_state(B)
