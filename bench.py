@@ -116,27 +116,13 @@ def bench_codec(batch=128, n_sf=16, iters=5):
         lambda s, x: F.compute_features(s, x, quantize_pitch=True))(state,
                                                                     pcm)
     vq_mem = jnp.zeros((batch, NB_BANDS))
-    enc = jax.jit(lambda f, m, sp: codec.encode_superframe(cbs, f, m, sp))
-
-    def run_enc():
-        m = vq_mem
-        buf = None
-        for g in range(n_sf):
-            buf, _, m = enc(feats[:, 4 * g:4 * (g + 1)], m, sps[g])
-        return buf
-
-    dt_enc = _timeit(run_enc, iters)
-    bufs = run_enc()
-    dec = jax.jit(lambda b, m: codec.decode_packet(cbs, b, m))
-
-    def run_dec():
-        m = jnp.zeros((batch, NB_BANDS))
-        f = None
-        for g in range(n_sf):
-            f, m = dec(bufs, m)
-        return f
-
-    dt_dec = _timeit(run_dec, iters)
+    sp_stack = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *sps)
+    enc = jax.jit(lambda f, m, sp: codec.encode_superframes(cbs, f, m, sp))
+    dt_enc = _timeit(lambda: enc(feats, vq_mem, sp_stack)[0], iters)
+    bufs = enc(feats, vq_mem, sp_stack)[0]
+    dec = jax.jit(lambda b, m: codec.decode_packets(cbs, b, m))
+    dt_dec = _timeit(
+        lambda: dec(bufs, jnp.zeros((batch, NB_BANDS)))[0], iters)
     audio = batch * n_sf * 4 * FRAME_SIZE / 16000.0
     return [_rt("encode_rt_factor", audio, dt_enc, {"batch": batch}),
             _rt("decode_feat_rt_factor", audio, dt_dec, {"batch": batch})]

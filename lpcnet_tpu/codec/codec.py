@@ -81,6 +81,46 @@ def encode_superframe(codebooks, feats: jax.Array, vq_mem: jax.Array,
     return packet.pack(fields), f, new_vq_mem
 
 
+def encode_superframes(codebooks, feats: jax.Array, vq_mem: jax.Array,
+                       sps):
+    """Encode S consecutive superframes in ONE jitted scan — the
+    throughput path (the per-superframe encode_superframe costs one host
+    dispatch each; this costs one for the whole chunk).
+
+    feats: (B, 4*S, 36) with quantize_pitch=True features; sps: the list
+    of S superframe-pitch dicts from features.compute_features (or the
+    same already stacked with a leading S axis).
+    Returns (bufs (B, S, 8) uint8, quantized feats (B, 4*S, 36),
+    final vq_mem)."""
+    B, T, Fdim = feats.shape
+    S = T // 4
+    f4 = feats.reshape(B, S, 4, Fdim).transpose(1, 0, 2, 3)
+    if isinstance(sps, (list, tuple)):
+        sps = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *sps)
+
+    def body(mem, x):
+        f, sp = x
+        buf, fq, mem = encode_superframe(codebooks, f, mem, sp)
+        return mem, (buf, fq)
+
+    mem, (bufs, fqs) = jax.lax.scan(body, vq_mem, (f4, sps))
+    return (bufs.transpose(1, 0, 2),
+            fqs.transpose(1, 0, 2, 3).reshape(B, T, Fdim), mem)
+
+
+def decode_packets(codebooks, bufs: jax.Array, vq_mem: jax.Array):
+    """Decode S packets in ONE jitted scan: (B, S, 8) uint8 ->
+    ((B, 4*S, 36) features, final vq_mem). Scan twin of decode_packet."""
+    def body(mem, b):
+        f, mem = decode_packet(codebooks, b, mem)
+        return mem, f
+
+    mem, fs = jax.lax.scan(body, vq_mem, bufs.transpose(1, 0, 2))
+    S = bufs.shape[1]
+    B = bufs.shape[0]
+    return fs.transpose(1, 0, 2, 3).reshape(B, 4 * S, -1), mem
+
+
 def decode_packet(codebooks, buf: jax.Array, vq_mem: jax.Array):
     """(B, 8) uint8 + (B, 18) vq_mem -> ((B, 4, 36) features, new vq_mem).
 

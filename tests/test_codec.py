@@ -128,6 +128,42 @@ class TestCodecRoundtrip:
         assert buf.shape == (2, 8)
 
 
+class TestScannedCodec:
+    def test_encode_superframes_matches_sequential(self, setup=None):
+        """The scanned throughput encoder must produce the same packets
+        and vq_mem chain as per-superframe encode_superframe calls."""
+        import jax
+        from lpcnet_tpu import features as F
+        rs = np.random.RandomState(12)
+        B, S = 2, 3
+        pcm = jnp.asarray(rs.randn(B, S * 640).astype(np.float32) * 3000)
+        st = F.init_state(B)
+        st, feats, sps = F.compute_features(st, pcm, quantize_pitch=True)
+        cbs = codec.default_codebooks(jax.random.PRNGKey(0))
+        mem = jnp.zeros((B, 18))
+        seq = []
+        m = mem
+        for g in range(S):
+            buf, _, m = codec.encode_superframe(
+                cbs, feats[:, 4 * g:4 * (g + 1)], m, sps[g])
+            seq.append(np.asarray(buf))
+        bufs, fq, m2 = codec.encode_superframes(cbs, feats, mem, sps)
+        np.testing.assert_array_equal(np.asarray(bufs),
+                                      np.stack(seq, axis=1))
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m),
+                                   atol=1e-6)
+        # scanned decoder round-trips the same features
+        dec_seq = []
+        dm = jnp.zeros((B, 18))
+        for g in range(S):
+            f, dm = codec.decode_packet(cbs, bufs[:, g], dm)
+            dec_seq.append(np.asarray(f))
+        decf, _ = codec.decode_packets(cbs, bufs, jnp.zeros((B, 18)))
+        np.testing.assert_allclose(
+            np.asarray(decf),
+            np.concatenate(dec_seq, axis=1), atol=1e-6)
+
+
 class TestVqTrain:
     def test_kmeans_reduces_distortion(self):
         rs = np.random.RandomState(8)
