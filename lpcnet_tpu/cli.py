@@ -93,6 +93,22 @@ def _jnp():
     return jnp
 
 
+_JIT_CACHE: Dict[Any, Any] = {}
+
+
+def _jit_features(quantize_pitch: bool, mode: str):
+    """Module-cached jitted compute_features step for the streaming CLIs:
+    eager per-op dispatch is fine on CPU but takes minutes per chunk over
+    a remote-TPU transport."""
+    import jax
+    from . import features as F
+    key = ("feat", quantize_pitch, mode)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(lambda s, x: F.compute_features(
+            s, x, quantize_pitch=quantize_pitch, mode=mode))
+    return _JIT_CACHE[key]
+
+
 def _pad_to_chunks(pcm: np.ndarray, frames: int,
                    chunk_frames: int = CHUNK_FRAMES) -> np.ndarray:
     """Zero-pad a sample stream so every feature-extraction call sees the
@@ -118,10 +134,10 @@ def cmd_features(args) -> int:
     state = F.init_state(1)
     out = []
     step = CHUNK_FRAMES
+    step_fn = _jit_features(args.quantize_pitch, "superframe")
     for t0 in range(0, len(pcm) // FRAME_SIZE, step):
         x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:(t0 + step) * FRAME_SIZE])
-        state, feats, _ = F.compute_features(
-            state, x, quantize_pitch=args.quantize_pitch)
+        state, feats, _ = step_fn(state, x)
         out.append(np.asarray(feats[0]))
     allf = np.concatenate(out, axis=0)[:T].astype(np.float32)
     allf.tofile(args.output)
@@ -214,18 +230,19 @@ def cmd_encode(args) -> int:
     vq_mem = jnp.zeros((1, NB_BANDS))
     bufs = []
     group = CHUNK_FRAMES // 4
-    enc_sf = jax.jit(lambda f, m, sp: codec.encode_superframe(
+    # whole-chunk scanned encode: byte-identical to per-superframe calls
+    # (tests/test_codec.py::TestScannedCodec), one dispatch per chunk
+    enc_sfs = jax.jit(lambda f, m, sp: codec.encode_superframes(
         cbs, f, m, sp))
+    step_fn = _jit_features(True, "superframe")
     for g0 in range(0, n_sf, group):
         x = jnp.asarray(pcm[None, g0 * LPCNET_PACKET_SAMPLES:
                             (g0 + group) * LPCNET_PACKET_SAMPLES])
-        state, feats, sps = F.compute_features(state, x,
-                                               quantize_pitch=True)
-        for i in range(min(group, n_sf - g0)):
-            buf, _, vq_mem = enc_sf(feats[:, 4 * i:4 * (i + 1)], vq_mem,
-                                    sps[i])
-            bufs.append(np.asarray(buf[0], np.uint8))
-    blob = np.concatenate(bufs)
+        state, feats, sps = step_fn(state, x)
+        chunk_bufs, _, vq_mem = enc_sfs(feats, vq_mem, sps)
+        n_keep = min(group, n_sf - g0)
+        bufs.append(np.asarray(chunk_bufs[0, :n_keep], np.uint8))
+    blob = np.concatenate(bufs).reshape(-1)
     blob.tofile(args.output)
     print(f"wrote {n_sf} packets ({blob.size} bytes, 1.6 kb/s) "
           f"-> {args.output}")
@@ -445,11 +462,11 @@ def cmd_dump_data(args) -> int:
         # pitch path (process_single_frame, dump_data.c:283); qtest runs
         # the superframe quantize path (process_superframe, :288)
         mode = "single" if cbs is None else "superframe"
+        step_fn = _jit_features(cbs is not None, mode)
         for t0 in range(0, len(pcm) // FRAME_SIZE, CHUNK_FRAMES):
             t1 = t0 + CHUNK_FRAMES
             x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
-            state, feats, sps = F.compute_features(
-                state, x, quantize_pitch=cbs is not None, mode=mode)
+            state, feats, sps = step_fn(state, x)
             if cbs is not None:
                 for g in range(min(CHUNK_FRAMES, T - t0) // 4):
                     _, fq, vq_mem = enc_fn(feats[:, 4 * g:4 * (g + 1)],
@@ -816,14 +833,16 @@ def cmd_fec_encode(args) -> int:
     jnp = _jnp()
     pcm = read_pcm(args.input)
     T = len(pcm) // FRAME_SIZE // 4 * 4
+    pcm = _pad_to_chunks(pcm, T)
     state = F.init_state(1)
     outs = []
-    for t0 in range(0, T, CHUNK_FRAMES):
-        t1 = min(T, t0 + CHUNK_FRAMES)
+    step_fn = _jit_features(False, "superframe")
+    for t0 in range(0, len(pcm) // FRAME_SIZE, CHUNK_FRAMES):
+        t1 = t0 + CHUNK_FRAMES
         x = jnp.asarray(pcm[None, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
-        state, feats, _ = F.compute_features(state, x)
+        state, feats, _ = step_fn(state, x)
         outs.append(np.asarray(feats[0]))
-    feats = np.concatenate(outs)[:, :NB_FEATURES]
+    feats = np.concatenate(outs)[:T, :NB_FEATURES]
     params = load_model_params(args.weights, rv.init_params, rng_seed=2)
     dcfg = DREDConfig(num_dframes=args.num_redundancy)
     dc = DREDCodec(params, dred_cfg=dcfg)
