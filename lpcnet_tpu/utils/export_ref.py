@@ -49,8 +49,53 @@ def _gru_bias6(bi: np.ndarray, br: np.ndarray) -> np.ndarray:
     return np.concatenate([bi, br]).astype(np.float32)
 
 
-def export_lpcnet_arrays(params: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
-    """params pytree (models/lpcnet.py layout) -> named arrays dict."""
+def _quantize_sparse_blocks(A: np.ndarray):
+    """Int8 (DOT_PROD) twin of _sparse_blocks (printSparseVector,
+    dump_lpcnet.py:85-122): same block selection and idx, but entries are
+    round(128*A) clipped to [-128, 127] and each 4x8 block is stored
+    output-major (qblock.transpose(1,0)) as the 8x4 kernels read it
+    (vec.h:274-305). Returns (W int8, idx int32, AQ full quantized matrix
+    for the subias compensation)."""
+    N, M = A.shape
+    assert N % 4 == 0 and M % 8 == 0, (N, M)
+    AQ = np.clip(np.round(A * 128.0), -128, 127).astype(np.int32)
+    W = []
+    idx = []
+    for i in range(M // 8):
+        pos = len(idx)
+        idx.append(-1)
+        nb = 0
+        for j in range(N // 4):
+            block = A[j * 4:(j + 1) * 4, i * 8:(i + 1) * 8]
+            if np.sum(np.abs(block)) > 1e-10:
+                nb += 1
+                idx.append(j * 4)
+                qblock = AQ[j * 4:(j + 1) * 4, i * 8:(i + 1) * 8]
+                W.append(qblock.T.reshape(-1))
+        idx[pos] = nb
+    Wq = (np.concatenate(W) if W else np.zeros((0,), np.int32))
+    return Wq.astype(np.int8), np.asarray(idx, np.int32), AQ
+
+
+def _quantize_dense_dotp(A: np.ndarray):
+    """Int8 dense weights in the DOT_PROD 8x4 traversal order (printVector
+    dotp=True, dump_lpcnet.py:57-61): (in, out) -> [out/8][in/4][8][4].
+    Returns (W int8 flat, AQ (in, out) for subias compensation)."""
+    N, M = A.shape
+    AQ = np.clip(np.round(A * 128.0), -128, 127).astype(np.int32)
+    v = AQ.reshape(N // 4, 4, M // 8, 8).transpose(2, 0, 3, 1)
+    return v.reshape(-1).astype(np.int8), AQ
+
+
+def export_lpcnet_arrays(params: Dict[str, Any], cfg,
+                         quantize: bool = False) -> Dict[str, np.ndarray]:
+    """params pytree (models/lpcnet.py layout) -> named arrays dict.
+
+    quantize=True produces the int8 (DOT_PROD) flavor that STOCK reference
+    builds load — GRU-A/B recurrent and GRU-B input weights as int8
+    qweight records at scale 128 with SU-bias compensation
+    (dump_grub/dump_sparse_gru, dump_lpcnet.py:137-192). The float flavor
+    needs a -DDISABLE_DOT_PROD build."""
     p = {k: np.asarray(v) for k, v in _flatten2(params).items()}
     na, nb, nc = cfg.gru_a_units, cfg.gru_b_units, cfg.cond_size
     es = cfg.embed_sig_size
@@ -74,23 +119,42 @@ def export_lpcnet_arrays(params: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     for k in range(3):
         sub = wr_a[:, k * na:(k + 1) * na]
         sub -= np.diag(np.diag(sub))
-    W, idx = _sparse_blocks(wr_a)
+    bias6 = _gru_bias6(p["gru_a/bi"], p["gru_a/br"])
+    if quantize:
+        W, idx, AQ = _quantize_sparse_blocks(wr_a)
+        subias = bias6.copy()
+        # SU-bias compensation on the recurrent half (dump_lpcnet.py:140)
+        subias[3 * na:] -= AQ.sum(axis=0) / 128.0
+    else:
+        W, idx = _sparse_blocks(wr_a)
+        subias = bias6
     arrays["sparse_gru_a_recurrent_weights"] = W
     arrays["sparse_gru_a_recurrent_weights_idx"] = idx
     arrays["sparse_gru_a_recurrent_weights_diag"] = diag.astype(np.float32)
-    bias6 = _gru_bias6(p["gru_a/bi"], p["gru_a/br"])
     arrays["sparse_gru_a_bias"] = bias6
-    arrays["sparse_gru_a_subias"] = bias6      # float path never reads it
+    arrays["sparse_gru_a_subias"] = subias
 
     # GRU-B: sparse input over GRU-A outputs + cond dense + dense recurrent
     wi_b = p["gru_b/wi"]                      # (na + nc, 3nb)
-    Wb, idxb = _sparse_blocks(wi_b[:na].astype(np.float32))
+    bias6b = _gru_bias6(p["gru_b/bi"], p["gru_b/br"])
+    if quantize:
+        Wb, idxb, AQin = _quantize_sparse_blocks(
+            wi_b[:na].astype(np.float32))
+        Wrb, AQrec = _quantize_dense_dotp(p["gru_b/wr"].astype(np.float32))
+        subias_b = bias6b.copy()
+        # (dump_grub, dump_lpcnet.py:190-192)
+        subias_b[:3 * nb] -= AQin.sum(axis=0) / 128.0
+        subias_b[3 * nb:] -= AQrec.sum(axis=0) / 128.0
+        arrays["gru_b_recurrent_weights"] = Wrb
+    else:
+        Wb, idxb = _sparse_blocks(wi_b[:na].astype(np.float32))
+        subias_b = bias6b
+        arrays["gru_b_recurrent_weights"] = \
+            p["gru_b/wr"].astype(np.float32)
     arrays["gru_b_weights"] = Wb
     arrays["gru_b_weights_idx"] = idxb
-    arrays["gru_b_recurrent_weights"] = p["gru_b/wr"].astype(np.float32)
-    bias6b = _gru_bias6(p["gru_b/bi"], p["gru_b/br"])
     arrays["gru_b_bias"] = bias6b
-    arrays["gru_b_subias"] = bias6b
+    arrays["gru_b_subias"] = subias_b
     arrays["gru_b_dense_feature_weights"] = \
         wi_b[na:].astype(np.float32)
     arrays["gru_b_dense_feature_bias"] = np.zeros(3 * nb, np.float32)
@@ -148,14 +212,16 @@ def _write_blob(arrays: Dict[str, np.ndarray], path: str) -> None:
     flat = {}
     for name, a in arrays.items():
         assert len(name) <= 43, name
-        flat[name] = (a if a.dtype == np.int32
+        flat[name] = (a if a.dtype in (np.int32, np.int8)
                       else np.ascontiguousarray(a, np.float32)).reshape(-1)
     weights_io.write_blob(path, flat)
 
 
-def export_lpcnet_blob(params: Dict[str, Any], cfg, path: str) -> None:
-    """Write the blob consumed by lpcnet_load_model (lpcnet.c:202-210)."""
-    _write_blob(export_lpcnet_arrays(params, cfg), path)
+def export_lpcnet_blob(params: Dict[str, Any], cfg, path: str,
+                       quantize: bool = False) -> None:
+    """Write the blob consumed by lpcnet_load_model (lpcnet.c:202-210).
+    quantize=True: int8 qweight flavor for stock (DOT_PROD) builds."""
+    _write_blob(export_lpcnet_arrays(params, cfg, quantize=quantize), path)
 
 
 def export_plc_blob(params: Dict[str, Any], path: str) -> None:

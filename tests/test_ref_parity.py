@@ -463,6 +463,64 @@ class TestNonCausalPLCEngineParity:
         assert (d == 0).mean() > 0.98, (d == 0).mean()
 
 
+class TestInt8Deployment:
+    """Stock reference builds default to the int8 DOT_PROD path
+    (vec.h:48-49) and reject float-only weight blobs (gru_init size checks
+    expect qweight records). export_lpcnet_blob(quantize=True) emits the
+    int8 flavor (scale-128 qweights in the 8x4 traversal order + SU-bias
+    compensation, mirroring dump_lpcnet.py:137-192). Measured with the
+    speech checkpoint: the DOT_PROD binary loads the blob and synthesizes
+    at pitch-lag autocorr +0.88 (float build: +0.90) — stochastic AR
+    trajectories fork on quantization-moved near-ties, so waveforms
+    decorrelate while distributional quality holds."""
+
+    def test_stock_build_loads_and_synthesizes(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.models import lpcnet
+        from lpcnet_tpu.utils import export_ref, weights_io
+        build = subprocess.run(
+            ["bash", "tools/ref_synth/build.sh", "/root/reference",
+             str(tmp_path), "dotprod"], capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+        params = weights_io.load_params(os.path.join(
+            os.path.dirname(__file__), os.pardir, "examples",
+            "speech_lpcnet_params.bin"))
+        cfg = lpcnet.LPCNetConfig()
+        export_ref.export_lpcnet_blob(params, cfg,
+                                      str(tmp_path / "wq.bin"),
+                                      quantize=True)
+        pcm = np.fromfile(os.path.join(GOLDEN, "speech.s16"),
+                          np.int16).astype(np.float32)
+        T = 40
+        st = F.init_state(1)
+        st, feats, _ = F.compute_features(st,
+                                          jnp.asarray(pcm[None, :T * 160]))
+        np.asarray(feats[0], np.float32).tofile(tmp_path / "f.f32")
+        r = subprocess.run([bin_path, str(tmp_path / "wq.bin"),
+                            str(tmp_path / "f.f32"),
+                            str(tmp_path / "out.pcm")],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr    # blob accepted, not rejected
+        out = np.fromfile(tmp_path / "out.pcm", np.int16).astype(float)
+        periods = np.clip(np.floor(
+            0.1 + 50 * np.asarray(feats[0, :, 18]) + 100), 33, 255
+        ).astype(int)
+        acs = []
+        for t in range(4, T - 2):
+            seg = out[t * 160:(t + 1) * 160 + 256]
+            lag = periods[t]
+            if len(seg) > lag + 160 and seg[:160].std() > 1:
+                a = np.corrcoef(seg[:160], seg[lag:lag + 160])[0, 1]
+                if np.isfinite(a):
+                    acs.append(a)
+        assert np.mean(acs) > 0.5, np.mean(acs)   # measured +0.88
+        assert 500 < out.std() < 15000, out.std()
+
+
 class TestE2EWaveformParity:
     """END2END (rc2lpc) model variant vs the reference C built with the
     e2e flavor (build.sh '... e2e'): measured 99.3% bit-identical
