@@ -185,23 +185,36 @@ def _flatten2(tree, prefix=""):
     return out
 
 
-def export_plc_arrays(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+def export_plc_arrays(params: Dict[str, Any],
+                      quantize: bool = False) -> Dict[str, np.ndarray]:
     """PLC net params (models/plc.py) -> reference names (dump_plc.py):
     plc_dense1, plc_gru1, plc_gru2 (sparse input + dense recurrent),
-    plc_out."""
+    plc_out. quantize=True emits the int8 DOT_PROD flavor for stock
+    builds (same math as export_lpcnet_arrays)."""
     p = {k: np.asarray(v) for k, v in _flatten2(params).items()}
     arrays: Dict[str, np.ndarray] = {}
     arrays["plc_dense1_weights"] = p["dense1/w"].astype(np.float32)
     arrays["plc_dense1_bias"] = p["dense1/b"].astype(np.float32)
     for name in ("gru1", "gru2"):
-        W, idx = _sparse_blocks(p[f"{name}/wi"].astype(np.float32))
+        n = p[f"{name}/wr"].shape[0]
+        bias6 = _gru_bias6(p[f"{name}/bi"], p[f"{name}/br"])
+        if quantize:
+            W, idx, AQin = _quantize_sparse_blocks(
+                p[f"{name}/wi"].astype(np.float32))
+            Wr, AQrec = _quantize_dense_dotp(
+                p[f"{name}/wr"].astype(np.float32))
+            subias = bias6.copy()
+            subias[:3 * n] -= AQin.sum(axis=0) / 128.0
+            subias[3 * n:] -= AQrec.sum(axis=0) / 128.0
+        else:
+            W, idx = _sparse_blocks(p[f"{name}/wi"].astype(np.float32))
+            Wr = p[f"{name}/wr"].astype(np.float32)
+            subias = bias6
         arrays[f"plc_{name}_weights"] = W
         arrays[f"plc_{name}_weights_idx"] = idx
-        arrays[f"plc_{name}_recurrent_weights"] = \
-            p[f"{name}/wr"].astype(np.float32)
-        bias6 = _gru_bias6(p[f"{name}/bi"], p[f"{name}/br"])
+        arrays[f"plc_{name}_recurrent_weights"] = Wr
         arrays[f"plc_{name}_bias"] = bias6
-        arrays[f"plc_{name}_subias"] = bias6
+        arrays[f"plc_{name}_subias"] = subias
     arrays["plc_out_weights"] = p["out/w"].astype(np.float32)
     arrays["plc_out_bias"] = p["out/b"].astype(np.float32)
     return arrays
@@ -224,10 +237,11 @@ def export_lpcnet_blob(params: Dict[str, Any], cfg, path: str,
     _write_blob(export_lpcnet_arrays(params, cfg, quantize=quantize), path)
 
 
-def export_plc_blob(params: Dict[str, Any], path: str) -> None:
+def export_plc_blob(params: Dict[str, Any], path: str,
+                    quantize: bool = False) -> None:
     """Write the blob consumed by lpcnet_plc_load_model
-    (lpcnet_plc.c:94-96)."""
-    _write_blob(export_plc_arrays(params), path)
+    (lpcnet_plc.c:94-96). quantize=True: int8 flavor for stock builds."""
+    _write_blob(export_plc_arrays(params, quantize=quantize), path)
 
 
 def export_rdovae_arrays(params: Dict[str, Any]) -> Dict[str, np.ndarray]:

@@ -520,6 +520,44 @@ class TestInt8Deployment:
         assert np.mean(acs) > 0.5, np.mean(acs)   # measured +0.88
         assert 500 < out.std() < 15000, out.std()
 
+    def test_stock_plc_engine_loads_quantized_blob(self, tmp_path):
+        """Same for the PLC engine: a DOTPROD=1 build loads the quantized
+        combined LPCNet+PLC blob, passes good frames through exactly, and
+        conceals with sane energy."""
+        import jax
+        from lpcnet_tpu.models import lpcnet
+        from lpcnet_tpu.utils import export_ref, weights_io
+        env = dict(os.environ, DOTPROD="1")
+        build = subprocess.run(
+            ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
+             str(tmp_path)], capture_output=True, text=True, env=env)
+        if build.returncode != 0:
+            pytest.skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+        ex = os.path.join(os.path.dirname(__file__), os.pardir, "examples")
+        lp = weights_io.load_params(
+            os.path.join(ex, "speech_lpcnet_params.bin"))
+        pp = weights_io.load_params(
+            os.path.join(ex, "speech_plc_params.bin"))
+        cfg = lpcnet.LPCNetConfig()
+        arrays = export_ref.export_lpcnet_arrays(lp, cfg, quantize=True)
+        arrays.update(export_ref.export_plc_arrays(pp, quantize=True))
+        export_ref._write_blob(arrays, str(tmp_path / "wq.bin"))
+        pcm = np.fromfile(os.path.join(GOLDEN, "speech.s16"),
+                          np.int16)[:16 * 160]
+        pcm.tofile(tmp_path / "in.pcm")
+        (tmp_path / "err.txt").write_text("0\n0\n0\n0\n1\n0\n0\n0\n")
+        r = subprocess.run(
+            [bin_path, "causal", str(tmp_path / "wq.bin"),
+             str(tmp_path / "err.txt"), str(tmp_path / "in.pcm"),
+             str(tmp_path / "out.pcm")], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        out = np.fromfile(tmp_path / "out.pcm", np.int16)
+        np.testing.assert_array_equal(out[:8 * 160],
+                                      pcm.astype(out.dtype)[:8 * 160])
+        con = out[8 * 160:10 * 160].astype(float)
+        assert np.isfinite(con).all() and 100 < con.std() < 20000
+
 
 class TestE2EWaveformParity:
     """END2END (rc2lpc) model variant vs the reference C built with the

@@ -16,7 +16,10 @@ if [ "${3:-}" = "noncausal" ]; then
     "$SYNTH"/nnet_data.h > "$OUT/nc_include/nnet_data.h"
   INC_FIRST="$OUT/nc_include -I$HERE"
 fi
-gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ -DDISABLE_DOT_PROD -DUSE_WEIGHTS_FILE \
+# DOTPROD=1: the reference's default int8 path (needs quantize=True blobs)
+DOTP="-DDISABLE_DOT_PROD"
+if [ "${DOTPROD:-0}" = "1" ]; then DOTP=""; fi
+gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ $DOTP -DUSE_WEIGHTS_FILE \
   -I$INC_FIRST -I"$SYNTH" -I$REF/include -I$REF/src \
   $REF/src/lpcnet_plc.c $REF/src/lpcnet.c $REF/src/lpcnet_enc.c \
   $REF/src/nnet.c $REF/src/freq.c $REF/src/kiss_fft.c $REF/src/pitch.c \
