@@ -58,6 +58,19 @@ class TestAudioTools:
         res = np.fromfile(out, np.int16)
         assert res.size == 8 * FRAME_SIZE
 
+    @pytest.mark.parametrize("mode", ["noncausal_dc", "strict"])
+    def test_plc_modes(self, tmp_path, mode):
+        """The round-2 PLC methods are reachable through the CLI and
+        output sample-aligned audio."""
+        make_pcm(tmp_path / "in.pcm")
+        trace = tmp_path / "err.txt"
+        trace.write_text("0\n1\n")
+        out = tmp_path / "out.pcm"
+        run(["plc", trace, tmp_path / "in.pcm", out, "--options", mode])
+        res = np.fromfile(out, np.int16)
+        assert res.size == 8 * FRAME_SIZE
+        assert np.isfinite(res.astype(float)).all()
+
     def test_plc_test_tool(self, tmp_path):
         rs = np.random.RandomState(3)
         T = 12
