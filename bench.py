@@ -47,7 +47,8 @@ def _speech_features(batch, frames):
 
     from lpcnet_tpu import features as F
     pcm = np.fromfile(GOLDEN_SPEECH, np.int16).astype(np.float32)
-    T = min(frames, len(pcm) // FRAME_SIZE // 4 * 4)
+    # superframe mode needs whole superframes (T % 4 == 0)
+    T = min(frames, len(pcm) // FRAME_SIZE) // 4 * 4
     st = F.init_state(1)
     _, feats, _ = jax.jit(F.compute_features)(
         st, jnp.asarray(pcm[None, :T * FRAME_SIZE]))
@@ -264,13 +265,14 @@ def bench_synthesis():
         result.update(metric="synthesis_rt_factor_total", devices=n_dev,
                       per_device=round(per_device, 2),
                       vs_baseline=round(per_device, 2))
-    return result, rt_factor, batch
+    return result, rt_factor
 
 
-def sample_kernel_mfu(rt_factor, batch):
+def sample_kernel_mfu(rt_factor):
     """Model-FLOPs utilization of the AR sample loop: the per-sample
     per-stream work is ~470k MACs (GRU-A recurrent 384x1152 dominates,
-    nnet.c:410-448), vs a v5e bf16 peak of 197 TFLOP/s."""
+    nnet.c:410-448), vs a v5e bf16 peak of 197 TFLOP/s. rt_factor already
+    aggregates all concurrent streams."""
     cfg_flops = 2 * (384 * 1152 + 384 * 48 + 16 * 48 + 2 * 16 * 256)
     model_flops = cfg_flops * rt_factor * 16000.0
     peak = 197e12
@@ -286,9 +288,9 @@ def main():
         for r in ([bench_features()] + bench_codec() + [bench_plc()]
                   + bench_dred() + [bench_train()]):
             print(json.dumps(r), flush=True)
-    result, rt, batch = bench_synthesis()
+    result, rt = bench_synthesis()
     if stages:
-        print(json.dumps(sample_kernel_mfu(rt, batch)), flush=True)
+        print(json.dumps(sample_kernel_mfu(rt)), flush=True)
     print(json.dumps(result))
 
 

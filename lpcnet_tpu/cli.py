@@ -93,20 +93,12 @@ def _jnp():
     return jnp
 
 
-_JIT_CACHE: Dict[Any, Any] = {}
-
-
 def _jit_features(quantize_pitch: bool, mode: str):
-    """Module-cached jitted compute_features step for the streaming CLIs:
-    eager per-op dispatch is fine on CPU but takes minutes per chunk over
-    a remote-TPU transport."""
-    import jax
-    from . import features as F
-    key = ("feat", quantize_pitch, mode)
-    if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(lambda s, x: F.compute_features(
-            s, x, quantize_pitch=quantize_pitch, mode=mode))
-    return _JIT_CACHE[key]
+    """Jitted compute_features step for the streaming CLIs (shared
+    module-level cache in data.py — eager per-op dispatch takes minutes
+    per chunk over a remote-TPU transport)."""
+    from .data import _feature_step_fn
+    return _feature_step_fn(quantize_pitch, mode)
 
 
 def _pad_to_chunks(pcm: np.ndarray, frames: int,
@@ -541,7 +533,7 @@ def cmd_vq_train(args) -> int:
     feats = read_features(args.input)
     cbs = vq_train.train_codec_codebooks(
         jax.random.PRNGKey(args.seed), _jnp().asarray(feats),
-        iters=args.iters)
+        iters=args.iters, final_iters=args.final_iters)
     weights_io.save_params(args.output,
                            {k: np.asarray(v) for k, v in cbs.items()})
     print(f"trained codebooks on {feats.shape[0]} frames -> {args.output}")
@@ -606,15 +598,17 @@ def cmd_train_lpcnet(args) -> int:
         opt_state, step, epoch0 = opt.init(params), 0, 0
     # schedules: from-scratch vs quantize-finetune (train_lpcnet.py:303-317)
     if args.quantize:
-        scfg = sparsify.SparsifyConfig(t_start=10000, t_end=30000,
-                                       interval=100, quantize=True,
-                                       density=tuple(args.density),
-                                       grub_density=tuple(args.grub_density))
+        t0, t1, iv = 10000, 30000, 100
     else:
-        scfg = sparsify.SparsifyConfig(t_start=2000, t_end=40000,
-                                       interval=400,
-                                       density=tuple(args.density),
-                                       grub_density=tuple(args.grub_density))
+        t0, t1, iv = 2000, 40000, 400
+    if args.sparsify_start is not None:
+        t0 = args.sparsify_start
+    if args.sparsify_end is not None:
+        t1 = args.sparsify_end
+    scfg = sparsify.SparsifyConfig(t_start=t0, t_end=t1, interval=iv,
+                                   quantize=args.quantize,
+                                   density=tuple(args.density),
+                                   grub_density=tuple(args.grub_density))
     rng = jax.random.PRNGKey(args.seed + 1)
     for ep in range(args.epochs):
         epoch = epoch0 + ep
@@ -960,7 +954,11 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("vq-train", help="train codec VQ codebooks")
     s.add_argument("input")
     s.add_argument("output")
-    s.add_argument("--iters", type=int, default=12)
+    s.add_argument("--iters", type=int, default=4,
+                   help="Lloyd passes per codebook split (the C recipe's "
+                        "4, ceps_vq_train.c:361)")
+    s.add_argument("--final-iters", type=int, default=20,
+                   help="polish passes at full size (the C's 20)")
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_vq_train)
 
@@ -980,6 +978,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=[0.05, 0.05, 0.2])
     s.add_argument("--grub-density", type=float, nargs=3,
                    default=[1.0, 1.0, 1.0])
+    s.add_argument("--sparsify-start", type=int, default=None,
+                   help="override the sparsify schedule's start batch "
+                        "(defaults: 2000 from-scratch / 10000 quantize)")
+    s.add_argument("--sparsify-end", type=int, default=None,
+                   help="override the sparsify schedule's end batch "
+                        "(defaults: 40000 / 30000)")
     s.set_defaults(fn=cmd_train_lpcnet)
 
     s = sub.add_parser("train-plc", help="train the PLC predictor")

@@ -100,10 +100,24 @@ def kmeans_weighted(rng: jax.Array, x: jax.Array, w: jax.Array, k: int,
     time (split1); we split-double like the unweighted trainer — same
     objective, better MXU shape."""
     def assign_w(xc, wc):
-        # ||sqrt(w)*(x - c)||^2 = sum w x^2 - 2 (w x) . c + (w) . c^2
-        d = (jnp.sum(wc * xc * xc, -1, keepdims=True)
-             - 2 * (wc * xc) @ cb.T + wc @ (cb * cb).T)
-        return jnp.argmin(d, axis=-1)
+        # ||sqrt(w)*(x - c)||^2 = sum w x^2 - 2 (w x) . c + (w) . c^2,
+        # with the (N, K) distance matrix built in bounded chunks like
+        # _assign_chunked
+        def chunk(args):
+            xi, wi = args
+            d = (jnp.sum(wi * xi * xi, -1, keepdims=True)
+                 - 2 * (wi * xi) @ cb.T + wi @ (cb * cb).T)
+            return jnp.argmin(d, axis=-1)
+
+        N = xc.shape[0]
+        if N * cb.shape[0] <= _ASSIGN_CHUNK * 16384:
+            return chunk((xc, wc))
+        pad = (-N) % _ASSIGN_CHUNK
+        xp = jnp.pad(xc, ((0, pad), (0, 0))).reshape(
+            -1, _ASSIGN_CHUNK, xc.shape[-1])
+        wp = jnp.pad(wc, ((0, pad), (0, 0))).reshape(
+            -1, _ASSIGN_CHUNK, wc.shape[-1])
+        return jax.lax.map(chunk, (xp, wp)).reshape(-1)[:N]
 
     cb = jnp.sum(x * 1.0, axis=0, keepdims=True) / x.shape[0]
     cur = 1

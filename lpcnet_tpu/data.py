@@ -91,15 +91,18 @@ def build_pairs(pcm: np.ndarray, lpc: np.ndarray, noise: np.ndarray
 _FEATURE_STEP_CACHE: Dict[object, object] = {}
 
 
-def _feature_step_fn(quantize: bool):
-    """Module-cached jitted feature step: a fresh jax.jit(lambda) per
-    prepare_training_data call would miss jax's compile cache and
-    recompile on EVERY augmentation pass (minutes x passes)."""
-    if quantize not in _FEATURE_STEP_CACHE:
+def _feature_step_fn(quantize: bool, mode: str = "superframe"):
+    """Module-cached jitted feature step (shared with the CLI tools): a
+    fresh jax.jit(lambda) per call would miss jax's compile cache and
+    recompile on EVERY augmentation pass / CLI chunk (minutes x passes
+    over a remote-TPU transport)."""
+    key = ("feat", quantize, mode)
+    if key not in _FEATURE_STEP_CACHE:
         import jax
-        _FEATURE_STEP_CACHE[quantize] = jax.jit(
-            lambda s, p: F.compute_features(s, p, quantize_pitch=quantize))
-    return _FEATURE_STEP_CACHE[quantize]
+        _FEATURE_STEP_CACHE[key] = jax.jit(
+            lambda s, p: F.compute_features(s, p, quantize_pitch=quantize,
+                                            mode=mode))
+    return _FEATURE_STEP_CACHE[key]
 
 
 def prepare_training_data(pcm: np.ndarray, seed: int = 0,
@@ -143,8 +146,13 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
     step_fn = _feature_step_fn(quant)
     if quant:
         from .codec import codec
+        # single-slot cache: evict stale entries so dead codebook pytrees
+        # are not pinned on device for the process lifetime
         key = ("enc", id(quantize_codebooks))
         if key not in _FEATURE_STEP_CACHE:
+            for k in [k for k in _FEATURE_STEP_CACHE
+                      if isinstance(k, tuple) and k[0] == "enc"]:
+                del _FEATURE_STEP_CACHE[k]
             _FEATURE_STEP_CACHE[key] = jax.jit(
                 lambda f4, m, sp: codec.encode_superframe(
                     quantize_codebooks, f4, m, sp))
