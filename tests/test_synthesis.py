@@ -287,6 +287,50 @@ class TestSpeechCheckpoints:
         rms = x.std()
         assert 500 < rms < 15000, rms             # measured 3234
 
+    def test_sq_checkpoint_sparse_int8_and_synthesizes(self):
+        """The deployment-grade checkpoint: GRU-A at the reference's gate
+        densities, all GRU weights on the int8/128 grid, and synthesis
+        quality at least the dense model's level (measured +0.96)."""
+        import os
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.utils import weights_io
+        path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "speech_lpcnet_sq_params.bin")
+        params = weights_io.load_params(path)
+        wr = np.asarray(params["gru_a"]["wr"])
+        n = wr.shape[0]
+        dens = [(np.abs(wr[:, k * n:(k + 1) * n]) > 0).mean()
+                for k in range(3)]
+        assert dens[0] < 0.08 and dens[1] < 0.08 and dens[2] < 0.25, dens
+        snap = np.abs(wr * 128 - np.round(wr * 128))
+        assert snap.max() < 1e-3, snap.max()      # fully on the int8 grid
+        wrb = np.asarray(params["gru_b"]["wr"])
+        assert np.abs(wrb * 128 - np.round(wrb * 128)).max() < 1e-3
+        params = jax.tree.map(jnp.asarray, params)
+        voc = Synthesizer(CFG, params=params, backend="scan")
+        pcm = np.fromfile(os.path.join(os.path.dirname(__file__), "golden",
+                                       "speech.s16"),
+                          np.int16).astype(np.float32)
+        T = 40
+        st = F.init_state(1)
+        st, feats, _ = jax.jit(F.compute_features)(
+            st, jnp.asarray(pcm[None, :T * 160]))
+        state = voc.reset(1)
+        _, out = voc.synthesize(state, feats)
+        x = np.asarray(out[0])
+        periods = np.clip(np.floor(
+            0.1 + 50 * np.asarray(feats[0, :, 18]) + 100), 33, 255
+        ).astype(int)
+        acs = []
+        for t in range(4, T - 2):
+            seg = x[t * 160:(t + 1) * 160 + 256]
+            lag = periods[t]
+            if len(seg) > lag + 160 and seg[:160].std() > 1:
+                a = np.corrcoef(seg[:160], seg[lag:lag + 160])[0, 1]
+                if np.isfinite(a):
+                    acs.append(a)
+        assert np.mean(acs) > 0.5, np.mean(acs)
+
     def test_speech_plc_net(self):
         import os
         from lpcnet_tpu.models import plc as pm
