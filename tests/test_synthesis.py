@@ -304,8 +304,11 @@ class TestSpeechCheckpoints:
         assert dens[0] < 0.08 and dens[1] < 0.08 and dens[2] < 0.25, dens
         snap = np.abs(wr * 128 - np.round(wr * 128))
         assert snap.max() < 1e-3, snap.max()      # fully on the int8 grid
-        wrb = np.asarray(params["gru_b"]["wr"])
-        assert np.abs(wrb * 128 - np.round(wrb * 128)).max() < 1e-3
+        # training quantizes GRU-A recurrent + GRU-B INPUT (the reference's
+        # Sparsify/SparsifyGRUB scope); GRU-B recurrent is rounded at
+        # export time only (dump_lpcnet.py:183)
+        wib = np.asarray(params["gru_b"]["wi"])
+        assert np.abs(wib * 128 - np.round(wib * 128)).max() < 1e-3
         params = jax.tree.map(jnp.asarray, params)
         voc = Synthesizer(CFG, params=params, backend="scan")
         pcm = np.fromfile(os.path.join(os.path.dirname(__file__), "golden",
