@@ -136,6 +136,45 @@ class TestPLCEngine:
         assert int(state["fec_fill"][0]) == 0
 
 
+class TestStrictEngineFEC:
+    def test_fec_frame_steers_concealment(self):
+        """StrictCausalPLCEngine consumes queued FEC features on conceal
+        (get_fec_or_pred, lpcnet_plc.c:147-166): with a distinctive FEC
+        frame queued, the concealed audio differs from the no-FEC run and
+        loss_count resets."""
+        from lpcnet_tpu.models import lpcnet
+        from lpcnet_tpu.plc import StrictCausalPLCEngine
+        cfg = lpcnet.LPCNetConfig(approx=True)
+        eng = StrictCausalPLCEngine(
+            lpcnet.init_params(jax.random.PRNGKey(0), cfg),
+            pm.init_params(jax.random.PRNGKey(1)), cfg)
+        B = 1
+        pcm = _speech(B, FRAME_SIZE)
+        fec = jnp.full((B, NB_FEATURES), 0.8)
+
+        def run(with_fec):
+            st = eng.init_state(B)
+            for _ in range(4):
+                st, _ = eng.step(st, jnp.asarray(pcm),
+                                 jnp.zeros((B,), bool))
+            if with_fec:
+                st = eng.fec_add(st, fec)
+                # discard bookkeeping may have consumed earlier reads;
+                # queue enough frames to survive the read position
+                for _ in range(6):
+                    st = eng.fec_add(st, fec)
+            st, out = eng.step(st, jnp.zeros((B, FRAME_SIZE)),
+                               jnp.ones((B,), bool))
+            return st, np.asarray(out)
+
+        st_f, out_f = run(True)
+        st_n, out_n = run(False)
+        assert not np.array_equal(out_f, out_n)
+        # FEC satisfied the conceal -> loss_count reset (lpcnet_plc.c:322)
+        assert int(st_f["loss_count"][0]) == 0
+        assert int(st_n["loss_count"][0]) == 1
+
+
 class TestPLCTraining:
     def test_loss_decreases(self):
         pp = pm.init_params(jax.random.PRNGKey(0), PCFG)
