@@ -51,6 +51,10 @@ baseline for all numbers: variant="base", tile 256, B=1024 -> ~2730x RT,
     data-dependent chain (pred -> mu-law -> gather -> GRU -> sample),
     not by any single op's throughput. Bigger wins need restructuring,
     and the restructurings tried so far all measured negative.
+  * batch scaling: RT/chip is FLAT at 2620-2730x across B=1024/2048/4096
+    (tiles serialize, per-tile latency fixed) — the per-chip ceiling of
+    this architecture; scale further via stream-DP across chips
+    (parallel/mesh.py), which is collective-free.
 """
 import functools
 from typing import Any, Dict, Tuple
