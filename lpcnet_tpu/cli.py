@@ -244,6 +244,7 @@ def cmd_encode(args) -> int:
 def cmd_decode(args) -> int:
     """8-byte packets -> PCM (lpcnet_demo -decode = decode_packet + 4x
     synthesize, src/lpcnet.c:310-319)."""
+    import jax
     import jax.numpy as jnp
     from .codec import codec
     from .models import lpcnet
@@ -265,14 +266,22 @@ def cmd_decode(args) -> int:
     params, cfg = load_lpcnet_model(args.weights)
     voc = Synthesizer(cfg, params=params, backend=args.backend)
     state = voc.reset(1)
-    dec_mem = jnp.zeros((1, NB_BANDS))
+    # decode the whole packet stream in one scanned call, then synthesize
+    # in fixed-shape chunks (fewer conv-boundary effects than the old
+    # per-packet calls, and one dispatch per chunk instead of per 40 ms)
+    feats, _ = jax.jit(lambda b, m: codec.decode_packets(cbs, b, m))(
+        jnp.asarray(raw[None]), jnp.zeros((1, NB_BANDS)))
+    T = int(feats.shape[1])
+    pad = (-T) % CHUNK_FRAMES
+    if pad:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((1, pad, feats.shape[-1]))], axis=1)
     outs = []
-    for p in range(n_sf):
-        feats, dec_mem = codec.decode_packet(
-            cbs, jnp.asarray(raw[None, p]), dec_mem)
-        state, pcm = voc.synthesize(state, feats)
+    for t0 in range(0, T + pad, CHUNK_FRAMES):
+        state, pcm = voc.synthesize(state,
+                                    feats[:, t0:t0 + CHUNK_FRAMES])
         outs.append(np.asarray(pcm[0]))
-    pcm = np.concatenate(outs)
+    pcm = np.concatenate(outs)[:T * FRAME_SIZE]
     write_pcm(args.output, pcm)
     print(f"wrote {len(pcm)} samples -> {args.output}")
     return 0
