@@ -272,16 +272,16 @@ def cmd_decode(args) -> int:
     feats, _ = jax.jit(lambda b, m: codec.decode_packets(cbs, b, m))(
         jnp.asarray(raw[None]), jnp.zeros((1, NB_BANDS)))
     T = int(feats.shape[1])
-    pad = (-T) % CHUNK_FRAMES
-    if pad:
-        feats = jnp.concatenate(
-            [feats, jnp.zeros((1, pad, feats.shape[-1]))], axis=1)
+    # full 64-frame chunks + one natural-length tail (T is a multiple of
+    # 4): zero-padding the tail would both bleed pad activations into the
+    # last frames' conv conditioning and waste AR sampling on discarded
+    # frames
     outs = []
-    for t0 in range(0, T + pad, CHUNK_FRAMES):
-        state, pcm = voc.synthesize(state,
-                                    feats[:, t0:t0 + CHUNK_FRAMES])
+    for t0 in range(0, T, CHUNK_FRAMES):
+        t1 = min(T, t0 + CHUNK_FRAMES)
+        state, pcm = voc.synthesize(state, feats[:, t0:t1])
         outs.append(np.asarray(pcm[0]))
-    pcm = np.concatenate(outs)[:T * FRAME_SIZE]
+    pcm = np.concatenate(outs)
     write_pcm(args.output, pcm)
     print(f"wrote {len(pcm)} samples -> {args.output}")
     return 0
