@@ -20,8 +20,10 @@ Reference program           -> subcommand here
 All audio is 16-bit little-endian PCM at 16 kHz (headerless, like the
 reference; .wav accepted via the stdlib reader). Feature files are float32
 frames of 36 (NB_TOTAL_FEATURES). Model weights are DNNw-blob checkpoints
-(utils/weights_io.py); omit --weights to run with seed-0 random init (for
-pipeline tests).
+(utils/weights_io.py); omit --weights and the shipped speech-trained
+checkpoints (examples/) load by default — the counterpart of the
+reference's download_model.sh flow — with a loud warning + seed-0 random
+fallback when the artifacts are absent.
 """
 import argparse
 import os
@@ -77,11 +79,36 @@ def load_model_params(path: Optional[str], init_fn, rng_seed: int = 0):
     return weights_io.load_params(path)
 
 
-def load_lpcnet_model(path: Optional[str], default_cfg=None):
+_EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
+                             "examples")
+DEFAULT_LPCNET = os.path.join(_EXAMPLES_DIR, "speech_lpcnet_params.bin")
+DEFAULT_PLC = os.path.join(_EXAMPLES_DIR, "speech_plc_params.bin")
+
+
+def _default_weights(path: Optional[str], default_path: str,
+                     what: str) -> Optional[str]:
+    """Resolve omitted --weights to the shipped trained checkpoint (the
+    reference's download_model.sh equivalent); warn loudly when falling
+    back to random init."""
+    if path is not None:
+        return path
+    if os.path.exists(default_path):
+        return default_path
+    print(f"warning: no trained {what} checkpoint found "
+          f"({default_path} missing) - using seed-0 RANDOM weights; "
+          "output will be noise. Pass --weights.", file=sys.stderr)
+    return None
+
+
+def load_lpcnet_model(path: Optional[str], default_cfg=None,
+                      allow_default: bool = True):
     """LPCNet params + config; .h5 files come from the reference Keras
-    trainer (utils/import_keras.py), everything else is a DNNw blob."""
+    trainer (utils/import_keras.py), everything else is a DNNw blob.
+    Omitted path resolves to the shipped speech checkpoint."""
     from .models import lpcnet
     cfg = default_cfg or lpcnet.LPCNetConfig()
+    if allow_default:
+        path = _default_weights(path, DEFAULT_LPCNET, "LPCNet")
     if path and path.endswith(".h5"):
         from .utils import import_keras
         return import_keras.import_lpcnet_h5(path)
@@ -323,12 +350,12 @@ def cmd_plc(args) -> int:
     noncausal = "noncausal" in args.options or "non_causal" in args.options
     lp, cfg = load_lpcnet_model(
         args.weights, lpcnet.LPCNetConfig(lookahead=0 if noncausal else 2))
-    if args.plc_weights and args.plc_weights.endswith(".h5"):
+    plc_w = _default_weights(args.plc_weights, DEFAULT_PLC, "PLC")
+    if plc_w and plc_w.endswith(".h5"):
         from .utils import import_keras
-        pp, _ = import_keras.import_plc_h5(args.plc_weights)
+        pp, _ = import_keras.import_plc_h5(plc_w)
     else:
-        pp = load_model_params(args.plc_weights, plc_model.init_params,
-                               rng_seed=1)
+        pp = load_model_params(plc_w, plc_model.init_params, rng_seed=1)
     if noncausal:
         engine = NonCausalPLCEngine(
             lp, pp, cfg,
