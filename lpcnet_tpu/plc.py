@@ -23,6 +23,13 @@ bit-exact-class replica of the C's default causal engine (concealed and
 blend frames match the compiled reference within +-1 rounding flips — see
 tests/test_ref_parity.py::TestStrictPLCEngineParity).
 
+Perf (v5e, 2026-08): run() at B=1024 measures 447x RT with the pallas
+synthesis backend. Step-cost ablation (stubbing components inside the
+jitted run): the TWO enc feature passes are ~50% of the step, the two
+synthesis passes ~33%, burg ~2% — so the next speedup lever is the
+in-scan feature extraction (micro-timings of standalone pieces are
+unreliable under the async transport; trust whole-run ablations).
+
 Feature queue for FEC (forward error correction via DRED) follows
 lpcnet_plc_fec_add / get_fec_or_pred / fec_rewind (lpcnet_plc.c:111-173).
 """
