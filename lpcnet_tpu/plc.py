@@ -5,7 +5,9 @@ each with its own loss flag; all three control paths (good frame, first good
 frame after loss = "blend", lost frame) are computed batched and selected
 per stream with masks. This replaces the reference's per-stream branchy C
 (lpcnet_plc_update_causal :188-290, lpcnet_plc_conceal_causal :293-337)
-with two synthesis passes + two feature passes per frame.
+with two synthesis passes + ONE shared feature pass per frame (good
+streams' output is their input, so features of the output frame serve
+every path).
 
 Deliberate divergences of PLCEngine from the C (documented):
   * We run teacher-forced state updates on every good frame — the
@@ -23,12 +25,12 @@ bit-exact-class replica of the C's default causal engine (concealed and
 blend frames match the compiled reference within +-1 rounding flips — see
 tests/test_ref_parity.py::TestStrictPLCEngineParity).
 
-Perf (v5e, 2026-08): run() at B=1024 measures 447x RT with the pallas
-synthesis backend. Step-cost ablation (stubbing components inside the
-jitted run): the TWO enc feature passes are ~50% of the step, the two
-synthesis passes ~33%, burg ~2% — so the next speedup lever is the
-in-scan feature extraction (micro-timings of standalone pieces are
-unreliable under the async transport; trust whole-run ablations).
+Perf (v5e, 2026-08): run() at B=1024 measures 613x RT with the pallas
+synthesis backend and the single shared feature pass (was 447x with two
+passes, 139x on the scan backend). Step-cost ablation (stubbing
+components inside the jitted run): feature extraction and the two
+synthesis passes dominate; burg ~2%. Micro-timings of standalone pieces
+are unreliable under the async transport — trust whole-run ablations.
 
 Feature queue for FEC (forward error correction via DRED) follows
 lpcnet_plc_fec_add / get_fec_or_pred / fec_rewind (lpcnet_plc.c:111-173).
@@ -86,6 +88,11 @@ class PLCEngine:
         self.options = options
         self.backend = _resolve_backend(backend)
         self._step = jax.jit(self._step_impl)
+
+    def _sel_mask(self, mask, a, b):
+        pick = lambda x, y: jnp.where(
+            mask.reshape(mask.shape + (1,) * (x.ndim - 1)), x, y)
+        return jax.tree.map(pick, a, b)
 
     def _synth_samples(self, synth_state, cond, nsamples, target=None,
                        preload=None, n_active=None):
@@ -201,7 +208,6 @@ class PLCEngine:
     def _step_impl(self, state, pcm, lost):
         B = pcm.shape[0]
         cfg = self.cfg
-        lostf = lost[:, None].astype(jnp.float32)
 
         # --- optional DC removal on the incoming audio (lpcnet_plc.c:195-204)
         dc_mem = state["dc_mem"] + jnp.where(lost, 0.0, 0.0)
@@ -224,11 +230,6 @@ class PLCEngine:
         # --- burg features of incoming audio (valid on good frames)
         burg36 = burg_ops.burg_cepstral_analysis(pcm_proc)
 
-        # --- enc features pass 1 on the input (valid for good non-blend)
-        enc1, feats1, _ = F.compute_features(state["enc"], pcm_proc,
-                                             mode="single")
-        featg = feats1[:, 0, :NB_FEATURES]
-
         # --- FEC availability (get_fec_or_pred, lpcnet_plc.c:147-166)
         has_fec = ((state["fec_read"] < state["fec_fill"])
                    & (state["fec_skip"] == 0) & lost)
@@ -237,18 +238,20 @@ class PLCEngine:
             jnp.clip(state["fec_read"], 0, PLC_MAX_FEC - 1)
             [:, None, None].repeat(NB_FEATURES, -1), axis=1)[:, 0]
 
-        # --- PLC net input per path
+        # --- PLC net step for the lost/blend paths (their inputs do not
+        # need enc features, so the output can be synthesized BEFORE the
+        # single shared feature pass below — this halves the step's
+        # feature-extraction cost, which ablation showed dominates)
         zeros36 = jnp.zeros((B, 2 * NB_BANDS), jnp.float32)
         zeros20 = jnp.zeros((B, NB_FEATURES), jnp.float32)
         one = jnp.ones((B, 1), jnp.float32)
-        in_good = jnp.concatenate([burg36, featg, one], axis=-1)
         in_blend = jnp.concatenate([burg36, zeros20, one], axis=-1)
         in_lost = jnp.concatenate([zeros36, zeros20, 0 * one], axis=-1)
         in_fec = jnp.concatenate([zeros36, fec_feat, -one], axis=-1)
         blend = state["blend"] & ~lost
-        x = jnp.where(lost[:, None],
-                      jnp.where(has_fec[:, None], in_fec, in_lost),
-                      jnp.where(blend[:, None], in_blend, in_good))
+        x_lb = jnp.where(lost[:, None],
+                         jnp.where(has_fec[:, None], in_fec, in_lost),
+                         in_blend)
 
         # restore plc state from the copy on blend (lpcnet_plc.c:217)
         copies = state["plc_copies"]
@@ -262,8 +265,8 @@ class PLCEngine:
                 jnp.concatenate([cur[:, None], cp[:, :-1]], axis=1), cp),
             copies, plc_net_in)
 
-        plc_net_out, pred = plc_model.step(self.plc_params, plc_net_in, x,
-                                           self.plc_cfg)
+        plc_lb, pred = plc_model.step(self.plc_params, plc_net_in, x_lb,
+                                      self.plc_cfg)
 
         # concealment features: FEC frame or prediction, with c0 attenuation
         # (lpcnet_plc.c:316-319)
@@ -294,6 +297,22 @@ class PLCEngine:
         output = jnp.where(lost[:, None], outA,
                            jnp.where(blend[:, None], blended, pcm_proc))
 
+        # --- ONE shared enc feature pass: good streams' output IS their
+        # (DC-removed) input, so features of `output` serve every path —
+        # the input features for the good-path PLC update AND the post-
+        # conceal/blend state advance the C does (lpcnet_plc.c:251-254,
+        # :322-328)
+        new_enc, featsg, _ = F.compute_features(state["enc"], output,
+                                                mode="single")
+        featg = featsg[:, 0, :NB_FEATURES]
+
+        # --- PLC net step for the good path (needs featg)
+        in_good = jnp.concatenate([burg36, featg, one], axis=-1)
+        plc_g, _ = plc_model.step(self.plc_params, state["plc_net"],
+                                  in_good, self.plc_cfg)
+        lb = lost | blend
+        plc_net_out = self._sel_mask(lb, plc_lb, plc_g)
+
         # --- synthesis pass B: teacher-forced resync for good streams
         featsB = jnp.zeros((B, NB_TOTAL_FEATURES), jnp.float32)
         featsB = featsB.at[:, :NB_FEATURES].set(
@@ -307,13 +326,6 @@ class PLCEngine:
             lost.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
         new_synth = jax.tree.map(pick, synthA, synthB)
         new_fnet = jax.tree.map(pick, fnetA, fnetB)
-
-        # --- enc features pass 2 on the output for lost | blend streams
-        redo = lost | blend
-        enc2, _, _ = F.compute_features(state["enc"], output, mode="single")
-        pickr = lambda a, b: jnp.where(
-            redo.reshape((redo.shape[0],) + (1,) * (a.ndim - 1)), a, b)
-        new_enc = jax.tree.map(pickr, enc2, enc1)
 
         # --- FEC bookkeeping
         fec_read = state["fec_read"]
