@@ -33,7 +33,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from .constants import (FRAME_SIZE, LPCNET_COMPRESSED_SIZE,
+from .constants import (DRED_COND_SIZE, FRAME_SIZE, LPCNET_COMPRESSED_SIZE,
                         LPCNET_PACKET_SAMPLES, NB_BANDS, NB_FEATURES,
                         NB_TOTAL_FEATURES)
 
@@ -83,6 +83,7 @@ _EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
                              "examples")
 DEFAULT_LPCNET = os.path.join(_EXAMPLES_DIR, "speech_lpcnet_params.bin")
 DEFAULT_PLC = os.path.join(_EXAMPLES_DIR, "speech_plc_params.bin")
+DEFAULT_DRED = os.path.join(_EXAMPLES_DIR, "speech_dred_params.bin")
 
 
 def _default_weights(path: Optional[str], default_path: str,
@@ -113,6 +114,22 @@ def load_lpcnet_model(path: Optional[str], default_cfg=None,
         from .utils import import_keras
         return import_keras.import_lpcnet_h5(path)
     return load_model_params(path, lambda k: lpcnet.init_params(k, cfg)), cfg
+
+
+def load_dred_model(path: Optional[str]):
+    """RDO-VAE params + config; omitted path resolves to the shipped DRED
+    checkpoint (the reference's download_model.sh covers DRED weights too).
+    The cond geometry is inferred from stored kernel shapes so cond-256
+    (deployable, torch trainer default) and cond-1024 (TF trainer default)
+    blobs both load without flags."""
+    from .models import rdovae as rv
+    path = _default_weights(path, DEFAULT_DRED, "DRED RDO-VAE")
+    params = load_model_params(path, rv.init_params, rng_seed=2)
+    enc = params["enc"]
+    cfg = rv.RDOVAEConfig(
+        cond_size=int(np.shape(enc["gru2"]["wr"])[0]),
+        cond_size2=int(np.shape(enc["dense1"]["w"])[1]))
+    return params, cfg
 
 
 def _jnp():
@@ -620,7 +637,8 @@ def cmd_train_lpcnet(args) -> int:
     raw = np.fromfile(args.data, np.int16)
     data = raw.reshape(-1, 2)
     cfg = lpcnet.LPCNetConfig(e2e=args.e2e, lpc_gamma=args.gamma)
-    opt = lpcnet_task.make_optimizer(lr=args.lr, decay=args.decay)
+    opt = lpcnet_task.make_optimizer(lr=args.lr, decay=args.decay,
+                                     b1=args.beta1, b2=args.beta2)
     if args.resume:
         tpl = opt.init(lpcnet.init_params(jax.random.PRNGKey(0), cfg))
         params, opt_state, step, meta0 = checkpoint.load_training(
@@ -765,7 +783,8 @@ def cmd_train_rdovae(args) -> int:
     from .utils import checkpoint
 
     feats = read_features(args.features)[:, :NB_FEATURES]
-    cfg = rv.RDOVAEConfig()
+    cfg = rv.RDOVAEConfig(cond_size=args.cond_size,
+                          cond_size2=args.cond_size2)
     opt = rdovae_task.make_optimizer(lr=args.lr)
     if args.resume:
         tpl = opt.init(rv.init_params(jax.random.PRNGKey(0), cfg))
@@ -797,7 +816,9 @@ def cmd_train_rdovae(args) -> int:
                 break
         ck = _ckpt_path(args.outdir, epoch)
         checkpoint.save_training(ck, params, opt_state, step,
-                                 {"epoch": epoch, "cfg": "rdovae"})
+                                 {"epoch": epoch, "cfg": "rdovae",
+                                  "cond_size": cfg.cond_size,
+                                  "cond_size2": cfg.cond_size2})
         _log_metrics(args.outdir, {"task": "rdovae", "epoch": epoch,
                                    "step": step, "steps": n,
                                    "loss": round(tot / max(1, n), 6)})
@@ -816,8 +837,8 @@ def cmd_rdovae_encode(args) -> int:
     from .models import rdovae as rv
     feats = read_features(args.input)[:, :NB_FEATURES]
     T = feats.shape[0] // 4 * 4
-    params = load_model_params(args.weights, rv.init_params, rng_seed=2)
-    dc = DREDCodec(params)
+    params, rcfg = load_dred_model(args.weights)
+    dc = DREDCodec(params, cfg=rcfg)
     jnp = _jnp()
     zd, sd = dc.encode(jnp.asarray(feats[None, :T]))
     qp = rv.quant_params(params, jnp.full((zd.shape[1],), args.quant,
@@ -838,8 +859,8 @@ def cmd_rdovae_decode(args) -> int:
     jnp = _jnp()
     sym = np.fromfile(args.input, np.int16).reshape(-1, 80)
     states = np.fromfile(args.input + ".state", np.float32).reshape(-1, 24)
-    params = load_model_params(args.weights, rv.init_params, rng_seed=2)
-    dc = DREDCodec(params)
+    params, rcfg = load_dred_model(args.weights)
+    dc = DREDCodec(params, cfg=rcfg)
     qid = jnp.full((sym.shape[0],), args.quant, jnp.int32)
     qp = rv.quant_params(params, qid, dc.cfg)
     z = jnp.asarray(sym, jnp.float32) / qp["scale"]
@@ -873,9 +894,9 @@ def cmd_fec_encode(args) -> int:
         state, feats, _ = step_fn(state, x)
         outs.append(np.asarray(feats[0]))
     feats = np.concatenate(outs)[:T, :NB_FEATURES]
-    params = load_model_params(args.weights, rv.init_params, rng_seed=2)
+    params, rcfg = load_dred_model(args.weights)
     dcfg = DREDConfig(num_dframes=args.num_redundancy)
-    dc = DREDCodec(params, dred_cfg=dcfg)
+    dc = DREDCodec(params, cfg=rcfg, dred_cfg=dcfg)
     zd, sd = dc.encode(jnp.asarray(feats[None]))
     S = zd.shape[1]
     packets, rates = [], []
@@ -1004,6 +1025,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("outdir")
     _train_common(s)
     s.add_argument("--decay", type=float, default=5e-5)
+    s.add_argument("--beta1", type=float, default=0.5,
+                   help="Adam beta_1 (reference train_lpcnet.py:229)")
+    s.add_argument("--beta2", type=float, default=0.8)
     s.add_argument("--e2e", action="store_true")
     s.add_argument("--gamma", type=float, default=1.0)
     s.add_argument("--quantize", action="store_true",
@@ -1040,6 +1064,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("outdir")
     _train_common(s)
     s.add_argument("--seq-len", type=int, default=400)
+    s.add_argument("--cond-size", type=int, default=DRED_COND_SIZE,
+                   help="GRU width (1024 = TF trainer default; 256 = the "
+                        "torch trainer's deployable geometry)")
+    s.add_argument("--cond-size2", type=int, default=256)
     s.set_defaults(fn=cmd_train_rdovae)
 
     s = sub.add_parser("rdovae-encode", help="features -> latents")

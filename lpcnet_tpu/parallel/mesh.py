@@ -64,8 +64,9 @@ def shard_synthesis(voc, batch: int, mesh: Optional[Mesh] = None,
 
 
 def dryrun_training_step(n_devices: int) -> None:
-    """Build an n_devices mesh, jit the FULL LPCNet training step with real
-    dp shardings, and run one step on tiny shapes. Used by the driver to
+    """Build an n_devices mesh, jit the FULL LPCNet training step at the
+    FLAGSHIP LPCNetConfig (gru_a 384 / dual-FC 256 / frame 160) with real
+    dp shardings, and run one step on a tiny batch. Used by the driver to
     validate the multi-chip path without hardware."""
     import optax
 
@@ -77,9 +78,7 @@ def dryrun_training_step(n_devices: int) -> None:
         f"need {n_devices} devices, have {len(jax.devices())}")
     mesh = make_mesh(devices)
 
-    cfg = lpcnet.LPCNetConfig(gru_a_units=64, gru_b_units=16, cond_size=32,
-                              embed_sig_size=16, embed_pitch_size=8,
-                              frame_size=40)
+    cfg = lpcnet.LPCNetConfig()
     params = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
     opt = lpcnet_task.make_optimizer()
     opt_state = opt.init(params)
@@ -106,3 +105,27 @@ def dryrun_training_step(n_devices: int) -> None:
     jax.block_until_ready(params)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
+
+
+def dryrun_inference_stream_dp(n_devices: int) -> None:
+    """Jit stream-DP synthesis (shard_synthesis — the BASELINE scale-out
+    config) at the flagship LPCNetConfig over an n_devices mesh, run one
+    2-frame chunk, and assert the output stays batch-sharded across all
+    devices (no implicit gather)."""
+    from ..constants import NB_TOTAL_FEATURES
+    from ..vocoder import Synthesizer
+
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(devices)
+    voc = Synthesizer(backend="scan")     # portable; pallas is TPU-only
+    B, T = 2 * n_devices, 2
+    state, synth_fn = shard_synthesis(voc, B, mesh)
+    feats = np.random.RandomState(0).randn(
+        B, T, NB_TOTAL_FEATURES).astype(np.float32) * 0.1
+    state, pcm = synth_fn(state, feats)
+    jax.block_until_ready(pcm)
+    assert pcm.shape == (B, T * voc.cfg.frame_size), pcm.shape
+    assert len(pcm.sharding.device_set) == n_devices, pcm.sharding
+    shard_rows = sorted(s.data.shape[0] for s in pcm.addressable_shards)
+    assert shard_rows == [B // n_devices] * n_devices, shard_rows
+    assert np.isfinite(np.asarray(pcm)).all()

@@ -176,8 +176,11 @@ def weight_clip(params, c: float = 0.992):
 
 
 def make_optimizer(lr: float = 1e-3, decay: float = 5e-5,
-                   b1: float = 0.9, b2: float = 0.99):
-    """Adam with 1/(1+decay*t) LR decay (train_lpcnet.py:210-229)."""
+                   b1: float = 0.5, b2: float = 0.8):
+    """Adam(beta_1=.5, beta_2=.8) with 1/(1+decay*t) LR decay — the
+    reference's exact optimizer (train_lpcnet.py:229). The low betas make
+    Adam react fast to the noisy per-sample CE gradient; override via
+    --beta1/--beta2 on the CLI."""
     sched = lambda t: lr / (1.0 + decay * t)
     return optax.chain(optax.scale_by_adam(b1=b1, b2=b2),
                        optax.scale_by_learning_rate(sched))

@@ -17,6 +17,8 @@ import subprocess
 import numpy as np
 import pytest
 
+from conftest import ref_build_skip
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
@@ -47,7 +49,7 @@ def packets(tmp_path_factory):
          str(tmp / "codebooks.c"), str(tmp)],
         capture_output=True, text=True)
     if build.returncode != 0:
-        pytest.skip(f"reference build failed: {build.stderr[-300:]}")
+        ref_build_skip(f"reference build failed: {build.stderr[-300:]}")
     bin_path = build.stdout.strip().splitlines()[-1]
     r = subprocess.run([bin_path, os.path.join(GOLDEN, "speech.s16"),
                         str(tmp / "ref.bin")], capture_output=True,
@@ -154,7 +156,7 @@ class TestDecoderParity:
              str(tmp_path / "codebooks.c"), str(tmp_path)],
             capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         np.asarray(ref_pkts, np.uint8).tofile(tmp_path / "pkts.bin")
         r = subprocess.run(
             [str(tmp_path / "ref_decode"), str(tmp_path / "pkts.bin"),

@@ -18,6 +18,8 @@ import subprocess
 import numpy as np
 import pytest
 
+from conftest import ref_build_skip
+
 
 @pytest.fixture(scope="module")
 def harness(tmp_path_factory):
@@ -29,7 +31,7 @@ def harness(tmp_path_factory):
         ["bash", "tools/ref_dred/build.sh", "/root/reference", str(tmp)],
         capture_output=True, text=True)
     if build.returncode != 0:
-        pytest.skip(f"reference build failed: {build.stderr[-300:]}")
+        ref_build_skip(f"reference build failed: {build.stderr[-300:]}")
     bin_path = build.stdout.strip().splitlines()[-1]
     cfg = rv.RDOVAEConfig(cond_size=256, cond_size2=256, approx=True)
     params = rv.init_params(jax.random.PRNGKey(2), cfg)

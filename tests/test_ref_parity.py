@@ -25,6 +25,8 @@ import sys
 import numpy as np
 import pytest
 
+from conftest import ref_build_skip
+
 from lpcnet_tpu.constants import NB_TOTAL_FEATURES
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
@@ -95,7 +97,7 @@ class TestReferenceWaveformParity:
             ["bash", "tools/ref_synth/build.sh", "/root/reference",
              str(tmp)], capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"reference build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"reference build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
 
         cfg = lpcnet.LPCNetConfig(approx=True)
@@ -170,7 +172,7 @@ class TestPLCNetParity:
             ["bash", "tools/ref_plc/build.sh", "/root/reference",
              str(tmp_path)], capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
         params = pm.init_params(jax.random.PRNGKey(1))
         export_ref.export_plc_blob(
@@ -223,7 +225,7 @@ class TestPLCEngineBehavior:
             ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
              str(tmp)], capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
 
         cfg = lpcnet.LPCNetConfig(approx=True)
@@ -304,7 +306,7 @@ class TestStrictPLCEngineParity:
             ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
              str(tmp)], capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
 
         cfg = lpcnet.LPCNetConfig(approx=True)
@@ -390,7 +392,7 @@ class TestNonCausalPLCEngineParity:
             ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
              str(tmp), "noncausal"], capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
 
         cfg = lpcnet.LPCNetConfig(approx=True, lookahead=0)
@@ -484,7 +486,7 @@ class TestInt8Deployment:
             ["bash", "tools/ref_synth/build.sh", "/root/reference",
              str(tmp_path), "dotprod"], capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
         params = weights_io.load_params(os.path.join(
             os.path.dirname(__file__), os.pardir, "examples",
@@ -532,7 +534,7 @@ class TestInt8Deployment:
             ["bash", "tools/ref_plc/build_engine.sh", "/root/reference",
              str(tmp_path)], capture_output=True, text=True, env=env)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
         ex = os.path.join(os.path.dirname(__file__), os.pardir, "examples")
         lp = weights_io.load_params(
@@ -576,7 +578,7 @@ class TestE2EWaveformParity:
             ["bash", "tools/ref_synth/build.sh", "/root/reference",
              str(tmp_path), "e2e"], capture_output=True, text=True)
         if build.returncode != 0:
-            pytest.skip(f"build failed: {build.stderr[-300:]}")
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
         bin_path = build.stdout.strip().splitlines()[-1]
         cfg = lpcnet.LPCNetConfig(approx=True, e2e=True)
         params = lpcnet.init_params(jax.random.PRNGKey(3), cfg)
