@@ -284,7 +284,70 @@ def export_rdovae_arrays(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return arrays
 
 
-def export_rdovae_blob(params: Dict[str, Any], path: str) -> None:
-    """Write the blob consumed by the DRED parity driver
-    (tools/ref_dred)."""
-    _write_blob(export_rdovae_arrays(params), path)
+def _softplus32(x: np.ndarray) -> np.ndarray:
+    """Numerically-stable float32 softplus (matches tf.math.softplus)."""
+    x = np.asarray(x, np.float32)
+    return (np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0)) \
+        .astype(np.float32)
+
+
+def export_rdovae_stats(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """q8/q10/q15 statistical-model tables from the lambda quant embedding
+    (dump_rdovae.py:110-145): the fixed-point quantizer scales, dead zones
+    and entropy-model (r, p0) the reference runtime's DRED entropy coder
+    reads through DRED_rdovae_get_*_pointer (dred_rdovae.c:118-136).
+    Returns uint16 arrays of levels*N entries each."""
+    w = np.asarray(params["quant_embed"]["e"], np.float32)
+    levels, dim = w.shape
+    N = dim // 6
+    quant_scales = _softplus32(w[:, :N])
+    dead_zone = np.float32(0.05) * _softplus32(w[:, N:2 * N])
+    r = (1.0 / (1.0 + np.exp(-w[:, 5 * N:6 * N]))).astype(np.float32)
+    p0 = (1.0 / (1.0 + np.exp(-w[:, 4 * N:5 * N]))).astype(np.float32)
+    p0 = (1.0 - r ** (0.5 + 0.5 * p0)).astype(np.float32)
+    return {
+        "dred_quant_scales_q8":
+            np.round(quant_scales * 2**8).astype(np.uint16).reshape(-1),
+        "dred_dead_zone_q10":
+            np.round(dead_zone * 2**10).astype(np.uint16).reshape(-1),
+        "dred_r_q15": np.round(r * 2**15).astype(np.uint16).reshape(-1),
+        "dred_p0_q15": np.round(p0 * 2**15).astype(np.uint16).reshape(-1),
+    }
+
+
+def export_rdovae_stats_c(params: Dict[str, Any], out_dir: str) -> None:
+    """Write dred_rdovae_stats_data.{h,c} — the generated C sources the
+    reference build compiles in (dump_rdovae.py dump_statistical_model
+    output) — so a TPU-trained DRED deploys into the reference runtime's
+    entropy-coding side, not just its network side."""
+    import os
+    stats = export_rdovae_stats(params)
+    n = next(iter(stats.values())).size
+    with open(os.path.join(out_dir, "dred_rdovae_stats_data.h"), "w") as f:
+        f.write("/* generated from a TPU-trained RDO-VAE checkpoint "
+                "(dump_rdovae.py equivalent) */\n"
+                "#ifndef DRED_RDOVAE_STATS_DATA_H\n"
+                "#define DRED_RDOVAE_STATS_DATA_H\n"
+                '#include "opus_types.h"\n\n')
+        for name in stats:
+            f.write(f"extern const opus_uint16 {name}[{n}];\n")
+        f.write("\n#endif\n")
+    with open(os.path.join(out_dir, "dred_rdovae_stats_data.c"), "w") as f:
+        f.write("/* generated from a TPU-trained RDO-VAE checkpoint */\n"
+                '#include "dred_rdovae_stats_data.h"\n\n')
+        for name, a in stats.items():
+            body = ",".join(str(int(v)) for v in a)
+            f.write(f"const opus_uint16 {name}[{n}] = {{\n{body}\n}};\n\n")
+
+
+def export_rdovae_blob(params: Dict[str, Any], path: str,
+                       include_stats: bool = True) -> None:
+    """Write the blob consumed by the DRED parity driver (tools/ref_dred).
+    include_stats adds the q8/q10/q15 entropy-model tables (as int32
+    records — the DNNw format carries f32/i32/i8) alongside the network
+    weights, so one artifact carries the full deployment payload."""
+    arrays = export_rdovae_arrays(params)
+    if include_stats:
+        for name, a in export_rdovae_stats(params).items():
+            arrays[name] = a.astype(np.int32)
+    _write_blob(arrays, path)

@@ -59,6 +59,38 @@ class TestDREDParity:
         assert np.abs(np.asarray(z[0]) - ref_lat).max() < 1e-4
         assert np.abs(np.asarray(state[0]) - ref_st).max() < 1e-4
 
+    def test_stats_tables_roundtrip(self, harness, tmp_path):
+        """Statistical-model export (dump_rdovae.py:110-145): generated
+        dred_rdovae_stats_data.{h,c} compile into the reference runtime and
+        the q8/q10/q15 tables read back through the actual
+        DRED_rdovae_get_*_pointer accessors (dred_rdovae.c:118-136)
+        BIT-IDENTICAL to export_rdovae_stats."""
+        import jax
+        from lpcnet_tpu.models import rdovae as rv
+        from lpcnet_tpu.utils import export_ref
+        _, _, params, cfg, _ = harness
+        rs = np.random.RandomState(21)
+        params = dict(params)
+        params["quant_embed"] = {"e": (rs.randn(
+            cfg.nb_quant, 6 * cfg.nb_latents) * 0.7).astype(np.float32)}
+        export_ref.export_rdovae_stats_c(params, str(tmp_path))
+        build = subprocess.run(
+            ["bash", "tools/ref_dred/build.sh", "/root/reference",
+             str(tmp_path), str(tmp_path)], capture_output=True, text=True)
+        if build.returncode != 0:
+            ref_build_skip(f"build failed: {build.stderr[-300:]}")
+        bin_path = build.stdout.strip().splitlines()[-1]
+        n = cfg.nb_quant * cfg.nb_latents
+        r = subprocess.run([bin_path, "stats", str(tmp_path / "stats.bin"),
+                            str(n)], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        raw = np.fromfile(tmp_path / "stats.bin", np.uint16).reshape(4, n)
+        ours = export_ref.export_rdovae_stats(params)
+        order = ["dred_quant_scales_q8", "dred_dead_zone_q10",
+                 "dred_r_q15", "dred_p0_q15"]
+        for row, name in zip(raw, order):
+            np.testing.assert_array_equal(row, ours[name], err_msg=name)
+
     def test_decoder(self, harness):
         import jax.numpy as jnp
         from lpcnet_tpu.models import rdovae as rv

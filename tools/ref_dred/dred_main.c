@@ -94,8 +94,21 @@ int main(int argc, char **argv) {
   long len;
   unsigned char *data;
   WeightArray *list;
-  if (argc < 3) { fprintf(stderr, "usage: %s enc|dec ...\n", argv[0]);
+  if (argc < 3) { fprintf(stderr, "usage: %s enc|dec|stats ...\n", argv[0]);
                   return 1; }
+  if (!strcmp(argv[1], "stats")) {
+    /* stats out.bin n_entries: dump the q8/q10/q15 entropy-model tables
+       through the reference accessors (dred_rdovae.c:118-136); only
+       meaningful when built against generated dred_rdovae_stats_data. */
+    int n = atoi(argv[3]);
+    FILE *f = fopen(argv[2], "wb");
+    fwrite(DRED_rdovae_get_quant_scales_pointer(), sizeof(opus_uint16), n, f);
+    fwrite(DRED_rdovae_get_dead_zone_pointer(), sizeof(opus_uint16), n, f);
+    fwrite(DRED_rdovae_get_r_pointer(), sizeof(opus_uint16), n, f);
+    fwrite(DRED_rdovae_get_p0_pointer(), sizeof(opus_uint16), n, f);
+    fclose(f);
+    return 0;
+  }
   data = read_all(argv[2], &len);
   if (parse_weights(&list, data, len) < 0) {
     fprintf(stderr, "bad blob\n"); return 1;
