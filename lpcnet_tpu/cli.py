@@ -536,6 +536,25 @@ def cmd_dump_data(args) -> int:
         return 0
     assert args.data, "train modes need an output data.s16 path"
     feats_all, data_all = [], []
+    if args.mode == "train" and args.batch_passes > 1:
+        # corpus path: run passes as parallel batched feature streams
+        # (prepare_training_data_batch); optional speed augmentation
+        with open(args.features, "wb") as ff, open(args.data, "wb") as fd:
+            total = 0
+            for p0 in range(0, args.passes, args.batch_passes):
+                seeds = range(args.seed + p0,
+                              args.seed + min(args.passes,
+                                              p0 + args.batch_passes))
+                feats, data = D.prepare_training_data_batch(
+                    pcm, seeds, speed_aug=args.speed_aug)
+                feats.tofile(ff)
+                data.astype(np.int16).tofile(fd)
+                total += feats.shape[0]
+                print(f"  pass {p0 + len(list(seeds))}/{args.passes}: "
+                      f"{total} frames", flush=True)
+        print(f"wrote {total} x {NB_TOTAL_FEATURES} frames "
+              f"({args.passes} passes) -> {args.features}, {args.data}")
+        return 0
     # multiple passes with different augmentation filters
     # (dump_data.c:245-257, README.md:110)
     for p in range(args.passes):
@@ -993,6 +1012,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--codebooks", default=None,
                    help="trained codec codebooks for qtrain/qtest")
+    s.add_argument("--batch-passes", type=int, default=1,
+                   help="train mode: run this many augmentation passes as "
+                        "parallel batched feature streams (corpus building)")
+    s.add_argument("--speed-aug", action="store_true",
+                   help="train mode with --batch-passes: per-pass random "
+                        "resampling in [0.7, 1.4] for pitch diversity")
     s.set_defaults(fn=cmd_dump_data)
 
     s = sub.add_parser("addlpc",

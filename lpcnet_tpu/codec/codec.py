@@ -30,31 +30,30 @@ def default_codebooks(rng: jax.Array) -> Dict[str, jax.Array]:
     }
 
 
-def encode_superframe(codebooks, feats: jax.Array, vq_mem: jax.Array,
-                      sp: Dict[str, jax.Array]):
-    """Quantize one superframe and pack the packet.
-
-    feats: (B, 4, 36) features computed with quantize_pitch=True;
-    vq_mem: (B, 18) previous superframe's quantized frame-3 cepstrum;
-    sp: superframe pitch dict from features.compute_features.
-    Returns (buf (B, 8) uint8, quantized feats (B, 4, 36), new vq_mem).
-    """
-    f = feats
-    # c0 scalar quantization (lpcnet_enc.c:704-706)
+def _quantize_frame3(codebooks, f: jax.Array):
+    """vq_mem-INDEPENDENT half of the superframe encode: c0 scalar
+    quantization (lpcnet_enc.c:704-706) + 3-stage M-best VQ on the frame-3
+    cepstrum tail (:707). f: (N, 4, 36). Returns (f updated, c0_id,
+    entries (N, 3))."""
     c0_id = jnp.clip(jnp.floor(0.5 + f[:, 3, 0] * 4.0), -64, 63
                      ).astype(jnp.int32)
     f = f.at[:, 3, 0].set(c0_id.astype(jnp.float32) / 4.0)
-    # 3-stage VQ on frame 3 cepstrum tail (lpcnet_enc.c:707)
     entries, recon = vq.quantize_3stage_mbest(
         f[:, 3, 1:NB_BANDS], codebooks["cb1"], codebooks["cb2"],
         codebooks["cb3"])
     f = f.at[:, 3, 1:NB_BANDS].set(recon)
-    # predictive diff VQ on frame 1 (lpcnet_enc.c:709)
+    return f, c0_id, entries
+
+
+def _finish_encode(codebooks, f: jax.Array, vq_mem: jax.Array, sp,
+                   c0_id: jax.Array, entries: jax.Array):
+    """vq_mem-DEPENDENT half: predictive diff VQ on frame 1
+    (lpcnet_enc.c:709), double interpolation of frames 0/2 (:710-711),
+    LPC refresh (:714-717), bit packing (:724-733). All (N, ...)."""
     vq_mid, recon1 = vq.quantize_diff(
         f[:, 1, :NB_BANDS], vq_mem, f[:, 3, :NB_BANDS], codebooks["diff4"],
         bits=12, sign=True)
     f = f.at[:, 1, :NB_BANDS].set(recon1)
-    # double interpolation of frames 0 and 2 (lpcnet_enc.c:710-711)
     interp_id = vq.double_interp_search(
         f[:, 0, :NB_BANDS], f[:, 1, :NB_BANDS], f[:, 2, :NB_BANDS],
         f[:, 3, :NB_BANDS], vq_mem)
@@ -63,11 +62,9 @@ def encode_superframe(codebooks, feats: jax.Array, vq_mem: jax.Array,
         f[:, 3, :NB_BANDS], vq_mem, interp_id)
     f = f.at[:, 0, :NB_BANDS].set(nf0)
     f = f.at[:, 2, :NB_BANDS].set(nf2)
-    # refresh LPC from the quantized cepstra (lpcnet_enc.c:714-717)
     from ..ops import dsp
     lpc, _ = dsp.lpc_from_cepstrum(f[..., :NB_BANDS])
     f = f.at[..., NB_BANDS + 2:].set(lpc)
-    new_vq_mem = f[:, 3, :NB_BANDS]
 
     fields = {
         "c0": c0_id + 64,
@@ -78,14 +75,36 @@ def encode_superframe(codebooks, feats: jax.Array, vq_mem: jax.Array,
         "vq_end2": entries[..., 2],
         "vq_mid": vq_mid, "interp_id": interp_id,
     }
-    return packet.pack(fields), f, new_vq_mem
+    return packet.pack(fields), f, f[:, 3, :NB_BANDS]
+
+
+def encode_superframe(codebooks, feats: jax.Array, vq_mem: jax.Array,
+                      sp: Dict[str, jax.Array]):
+    """Quantize one superframe and pack the packet.
+
+    feats: (B, 4, 36) features computed with quantize_pitch=True;
+    vq_mem: (B, 18) previous superframe's quantized frame-3 cepstrum;
+    sp: superframe pitch dict from features.compute_features.
+    Returns (buf (B, 8) uint8, quantized feats (B, 4, 36), new vq_mem).
+    """
+    f, c0_id, entries = _quantize_frame3(codebooks, feats)
+    return _finish_encode(codebooks, f, vq_mem, sp, c0_id, entries)
 
 
 def encode_superframes(codebooks, feats: jax.Array, vq_mem: jax.Array,
                        sps):
-    """Encode S consecutive superframes in ONE jitted scan — the
-    throughput path (the per-superframe encode_superframe costs one host
-    dispatch each; this costs one for the whole chunk).
+    """Encode S consecutive superframes in ONE jitted call with NO scan —
+    the throughput path.
+
+    The reference's serial state st->vq_mem (lpcnet_enc.c:708-712) looks
+    like a cross-superframe dependency, but it is only the QUANTIZED
+    frame-3 cepstrum — which depends on nothing but the current
+    superframe's own features (frames 0-2 are quantized against vq_mem,
+    but never feed it). So the heavy 3-stage M-best search runs for ALL
+    superframes in one (B*S)-batched pass on the MXU, the vq_mem chain is
+    a plain shift of its outputs, and the remaining diff-VQ/interp/LPC
+    stage batches over B*S as well. Bit-identical to the sequential
+    per-superframe path (asserted by tests/test_codec.py).
 
     feats: (B, 4*S, 36) with quantize_pitch=True features; sps: the list
     of S superframe-pitch dicts from features.compute_features (or the
@@ -94,18 +113,20 @@ def encode_superframes(codebooks, feats: jax.Array, vq_mem: jax.Array,
     final vq_mem)."""
     B, T, Fdim = feats.shape
     S = T // 4
-    f4 = feats.reshape(B, S, 4, Fdim).transpose(1, 0, 2, 3)
     if isinstance(sps, (list, tuple)):
         sps = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *sps)
-
-    def body(mem, x):
-        f, sp = x
-        buf, fq, mem = encode_superframe(codebooks, f, mem, sp)
-        return mem, (buf, fq)
-
-    mem, (bufs, fqs) = jax.lax.scan(body, vq_mem, (f4, sps))
-    return (bufs.transpose(1, 0, 2),
-            fqs.transpose(1, 0, 2, 3).reshape(B, T, Fdim), mem)
+    # (S, B, ...) pitch leaves -> (B*S, ...), superframe-major per stream
+    sp_flat = jax.tree.map(
+        lambda x: jnp.moveaxis(x, 0, 1).reshape((B * S,) + x.shape[2:]),
+        sps)
+    flat = feats.reshape(B, S, 4, Fdim).reshape(B * S, 4, Fdim)
+    flat, c0_id, entries = _quantize_frame3(codebooks, flat)
+    q3 = flat[:, 3, :NB_BANDS].reshape(B, S, NB_BANDS)
+    mems = jnp.concatenate([vq_mem[:, None], q3[:, :-1]], axis=1)
+    buf, fq, _ = _finish_encode(codebooks, flat,
+                                mems.reshape(B * S, NB_BANDS), sp_flat,
+                                c0_id, entries)
+    return (buf.reshape(B, S, 8), fq.reshape(B, T, Fdim), q3[:, -1])
 
 
 def decode_packets(codebooks, bufs: jax.Array, vq_mem: jax.Array):

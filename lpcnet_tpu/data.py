@@ -186,6 +186,75 @@ def prepare_training_data(pcm: np.ndarray, seed: int = 0,
     return feats, data
 
 
+def _resample_linear(x: np.ndarray, speed: float) -> np.ndarray:
+    """Linear-interpolation resampling (speed > 1 = faster/higher pitch).
+    Cheap speaker/pitch diversification for corpus building — the one
+    augmentation axis the reference recipe (random biquads/gains/noise,
+    dump_data.c:245-257) does not cover."""
+    n = int(len(x) / speed)
+    idx = np.arange(n, dtype=np.float64) * speed
+    i0 = idx.astype(np.int64)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    frac = (idx - i0).astype(np.float32)
+    return ((1.0 - frac) * x[i0] + frac * x[i1]).astype(np.float32)
+
+
+def prepare_training_data_batch(pcm: np.ndarray, seeds,
+                                speed_aug: bool = False):
+    """Multi-pass corpus builder: run N augmentation passes as N PARALLEL
+    feature-extraction streams (one batched jit per chunk instead of N
+    sequential single-stream pipelines — the TPU-efficient path for the
+    reference's 10M-frame multi-pass recipe, dump_data.c:245-257).
+
+    pcm: raw int16-range samples; seeds: per-pass augmentation seeds;
+    speed_aug: also draw a per-pass resampling factor in [0.7, 1.4]
+    (pitch/speaker diversity). Returns (features (N*T, 36),
+    data (N*T*160, 2)) with passes concatenated in seed order."""
+    import jax.numpy as jnp
+
+    from .ops import dsp
+    seeds = list(seeds)
+    N = len(seeds)
+    xs, noises = [], []
+    for seed in seeds:
+        base = pcm
+        if speed_aug:
+            speed = np.random.RandomState(seed ^ 0x5EED).uniform(0.7, 1.4)
+            base = _resample_linear(np.asarray(pcm, np.float32), speed)
+        x, noise = augment(base, seed)
+        xs.append(x)
+        noises.append(noise)
+    # common length: whole superframes of the shortest pass
+    T = min(len(x) for x in xs) // FRAME_SIZE // 4 * 4
+    S = T * FRAME_SIZE
+    X = np.stack([x[:S] for x in xs])                   # (N, S)
+    noises = [n[:S] for n in noises]
+
+    state = F.init_state(N)
+    z, _ = dsp.deemphasis_scan(jnp.asarray(X), jnp.zeros(N))
+    chunk = 256
+    feat_parts = []
+    step_fn = _feature_step_fn(False)
+    for t0 in range(0, T, chunk):
+        t1 = min(T, t0 + chunk)
+        state, f, _ = step_fn(state, z[:, t0 * FRAME_SIZE:t1 * FRAME_SIZE])
+        feat_parts.append(np.asarray(f))
+    feats = np.concatenate(feat_parts, axis=1)          # (N, T, 36)
+
+    all_feats, all_data = [], []
+    for i in range(N):
+        pcm_del = np.zeros(S, np.float32)
+        pcm_del[TRAINING_OFFSET:] = X[i, :S - TRAINING_OFFSET]
+        pcm16 = np.clip(np.floor(0.5 + pcm_del), -32767, 32767) \
+            .astype(np.int16)
+        data = build_pairs(pcm16, feats[i, :, 18 + 2:18 + 2 + LPC_ORDER]
+                           .astype(np.float32), noises[i])
+        all_feats.append(feats[i])
+        all_data.append(data)
+    return (np.concatenate(all_feats).astype(np.float32),
+            np.concatenate(all_data))
+
+
 def window_batches(features: np.ndarray, data: np.ndarray,
                    batch_size: int = 128, frames_per_chunk: int = 15,
                    lookahead: int = 2, rng: Optional[np.random.RandomState]
