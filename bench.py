@@ -129,7 +129,7 @@ def bench_codec(batch=128, n_sf=16, iters=5):
             _rt("decode_feat_rt_factor", audio, dt_dec, {"batch": batch})]
 
 
-def bench_plc(batch=128, frames=8, iters=3):
+def bench_plc(batch=1024, frames=8, iters=3):
     import jax
     import jax.numpy as jnp
 

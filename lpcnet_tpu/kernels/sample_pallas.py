@@ -422,6 +422,141 @@ def _tf_frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
     rng_out[:] = rng
 
 
+def _teacher_kernel(cond_a_ref, cond_b_ref,
+                    tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                    wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
+                    idx_sig_ref, idx_pred_ref, idx_exc_ref,
+                    gru_a_in, gru_b_in,
+                    gru_a_out, gru_b_out, *, nsamples: int, wdtype):
+    """GRU-advance kernel for FULLY teacher-forced segments: the mu-law
+    indices for every sample are precomputed outside (they depend only on
+    the target — sample_scan.teacher_sequences), so the loop body is just
+    embeddings + the two GRU recurrences. No dual-FC, no tree sampling, no
+    RNG — the serialized per-sample chain shrinks to its irreducible
+    recurrent core (cf. the bt=128 constant-index ablation in the module
+    docstring: the same loop without data-dependent index computation runs
+    ~4x faster)."""
+    tbl_sig, tbl_pred, tbl_exc = (tbl_sig_ref[:], tbl_pred_ref[:],
+                                  tbl_exc_ref[:])
+    wr_a, br_a = wr_a_ref[:], br_a_ref[:]
+    wi_b, wr_b, br_b = wi_b_ref[:], wr_b_ref[:], br_b_ref[:]
+    cond_a, cond_b = cond_a_ref[:], cond_b_ref[:]
+
+    def gru(h, zrh, wr, br):
+        n = h.shape[1]
+        recur = jnp.dot(h, wr, preferred_element_type=jnp.float32) + br
+        z = _sigmoid(zrh[:, :n] + recur[:, :n])
+        r = _sigmoid(zrh[:, n:2 * n] + recur[:, n:2 * n])
+        hc = jnp.tanh(zrh[:, 2 * n:] + r * recur[:, 2 * n:])
+        return z * h + (1.0 - z) * hc
+
+    def body(i, carry):
+        gru_a, gru_b = carry
+        zrh_a = (cond_a
+                 + jnp.dot(_onehot(idx_sig_ref[i, :], 256, wdtype), tbl_sig,
+                           preferred_element_type=jnp.float32)
+                 + jnp.dot(_onehot(idx_pred_ref[i, :], 256, wdtype),
+                           tbl_pred, preferred_element_type=jnp.float32)
+                 + jnp.dot(_onehot(idx_exc_ref[i, :], 256, wdtype), tbl_exc,
+                           preferred_element_type=jnp.float32))
+        gru_a = gru(gru_a, zrh_a, wr_a, br_a)
+        zrh_b = cond_b + jnp.dot(gru_a, wi_b,
+                                 preferred_element_type=jnp.float32)
+        gru_b = gru(gru_b, zrh_b, wr_b, br_b)
+        return gru_a, gru_b
+
+    gru_a, gru_b = jax.lax.fori_loop(0, nsamples, body,
+                                     (gru_a_in[:], gru_b_in[:]))
+    gru_a_out[:] = gru_a
+    gru_b_out[:] = gru_b
+
+
+def teacher_advance_pallas(tables: Dict[str, Any],
+                           state: Dict[str, jax.Array],
+                           cond: Dict[str, jax.Array], cfg,
+                           target: jax.Array, interpret: bool = False):
+    """Fused twin of sample_scan.teacher_advance: sequences precomputed in
+    XLA (small (B, ns) tensors), GRU recurrences advanced VMEM-resident.
+    Returns (new_state, target)."""
+    from . import sample_scan
+    B, ns = target.shape
+    Bp = max(8, -(-B // 8) * 8) if B <= MAX_BATCH_TILE \
+        else -(-B // MAX_BATCH_TILE) * MAX_BATCH_TILE
+    if Bp != B:
+        pads = _pad_batch({"state": state, "cond": cond, "target": target},
+                          B, Bp)
+        new_state, _ = teacher_advance_pallas(
+            tables, pads["state"], pads["cond"], cfg, pads["target"],
+            interpret=interpret)
+        return jax.tree.map(lambda x: x[:B], new_state), target
+
+    seqs = sample_scan.teacher_sequences(state, cond, cfg, target)
+    na, nb = cfg.gru_a_units, cfg.gru_b_units
+    bt = min(B, MAX_BATCH_TILE)
+    if B == bt:
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [full] * 15
+        out_specs = (full, full)
+        grid = None
+    else:
+        grid = (B // bt,)
+
+        def bspec(rows):
+            return pl.BlockSpec((bt, rows), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        def wspec(shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        def iseq():
+            return pl.BlockSpec((ns, bt), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            bspec(3 * na), bspec(3 * nb),
+            wspec((256, 3 * na)), wspec((256, 3 * na)), wspec((256, 3 * na)),
+            wspec((na, 3 * na)), wspec((1, 3 * na)), wspec((na, 3 * nb)),
+            wspec((nb, 3 * nb)), wspec((1, 3 * nb)),
+            iseq(), iseq(), iseq(),
+            bspec(na), bspec(nb),
+        ]
+        out_specs = (bspec(na), bspec(nb))
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, na), jnp.float32),
+        jax.ShapeDtypeStruct((B, nb), jnp.float32),
+    )
+    kernel = functools.partial(_teacher_kernel, nsamples=ns,
+                               wdtype=jnp.float32)
+    call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
+                       out_specs=out_specs, interpret=interpret)
+    if grid is not None:
+        call_kwargs["grid"] = grid
+    gru_a, gru_b = pl.pallas_call(kernel, **call_kwargs)(
+        cond["cond_a"], cond["cond_b"],
+        tables["tbl_sig"], tables["tbl_pred"], tables["tbl_exc"],
+        tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
+        tables["wr_b"], tables["br_b"][None, :],
+        seqs["lsu"].T, seqs["pu"].T, seqs["exc_prev"].T,
+        state["gru_a"], state["gru_b"])
+
+    # RNG parity: 2 KISS99 draws per sample, advanced vectorized outside
+    def rstep(r, _):
+        r, _ = _host_kiss99(r)
+        return r, None
+
+    rng, _ = jax.lax.scan(rstep, state["rng"], None, length=2 * ns)
+    new_state = {"gru_a": gru_a, "gru_b": gru_b,
+                 "last_sig": seqs["last_sig"], "last_exc": seqs["last_exc"],
+                 "deemph": seqs["deemph"], "rng": rng}
+    return new_state, target
+
+
+def _host_kiss99(rng):
+    from ..ops.kiss99 import kiss99_next
+    return kiss99_next(rng)
+
+
 def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
                          cond: Dict[str, jax.Array], cfg, nsamples: int,
                          target=None, preload=None, n_active=None,

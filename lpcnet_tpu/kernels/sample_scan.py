@@ -201,6 +201,102 @@ def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
     return state, pcm.T
 
 
+def teacher_advance(tables: Dict[str, Any], state: Dict[str, jax.Array],
+                    cond: Dict[str, jax.Array], cfg, target: jax.Array
+                    ) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """State advance over a FULLY teacher-forced segment WITHOUT the AR
+    sample loop — the fast path for resync passes whose output is the
+    target itself (PLC good-frame updates, decoder priming).
+
+    Equivalent to synth_samples(..., target=target, preload=nsamples)
+    including the RNG advance (2 draws per sample), but restructured: under
+    full teacher forcing the excitation sequence is a function of the
+    target alone (lpcnet.c:256-261 — exc comes from the target, not the
+    sampler), so the cross-sample serial chain through
+    pred -> mu-law -> GRU -> sample disappears. The mu-law/embedding math
+    for ALL samples becomes batched (B*nsamples) tensor ops; only the GRU-A
+    and GRU-B recurrences remain sequential (one (B,N)x(N,3N) matmul per
+    step), and the dual-FC/tree-sampling work (whose result is discarded
+    under forcing) is skipped entirely. ~2-4x faster than the AR kernels
+    for this purpose and exact to float-rounding: the deemphasis chain is
+    replicated op-for-op in a scalar scan.
+
+    cond: cond_a (B,3Na), cond_b (B,3Nb), lpc (B,16); target (B, nsamples).
+    Returns (new_state, target) — the forced output IS the target
+    (sample_step line `out = where(mask, target, out)`)."""
+    approx = cfg.approx
+    ca, cb = cond["cond_a"], cond["cond_b"]
+    seqs = teacher_sequences(state, cond, cfg, target)
+    lsu, pu, exc_prev = seqs["lsu"], seqs["pu"], seqs["exc_prev"]
+    ns = target.shape[1]
+    zrh_a = (ca[:, None]
+             + jnp.take(tables["tbl_sig"], lsu, axis=0)
+             + jnp.take(tables["tbl_pred"], pu, axis=0)
+             + jnp.take(tables["tbl_exc"], exc_prev, axis=0))  # (B,ns,3Na)
+
+    def gru_seq(h0, zrh_t, wr, br):
+        def step(h, z):
+            h = _gru(h, z, wr, br, approx)
+            return h, h
+
+        return jax.lax.scan(step, h0, zrh_t)
+
+    gru_a, gru_a_seq = gru_seq(state["gru_a"], zrh_a.transpose(1, 0, 2),
+                               tables["wr_a"], tables["br_a"])
+    zrh_b = cb[None] + gru_a_seq @ tables["wi_b"]       # (ns, B, 3Nb)
+    gru_b, _ = gru_seq(state["gru_b"], zrh_b, tables["wr_b"],
+                       tables["br_b"])
+
+    # RNG parity: the forced loop still consumes 2 KISS99 draws per sample
+    def rstep(r, _):
+        r, _ = kiss99_next(r)
+        return r, None
+
+    rng, _ = jax.lax.scan(rstep, state["rng"], None, length=2 * ns)
+
+    new_state = {"gru_a": gru_a, "gru_b": gru_b,
+                 "last_sig": seqs["last_sig"], "last_exc": seqs["last_exc"],
+                 "deemph": seqs["deemph"], "rng": rng}
+    return new_state, target
+
+
+def teacher_sequences(state, cond, cfg, target):
+    """Precompute everything but the GRU recurrences for a fully forced
+    segment: under teacher forcing the signal/excitation chain is a
+    function of the target alone, so the mu-law indices for ALL samples are
+    batched tensor ops. Returns dict(lsu, pu, exc_prev (B, ns) int32 GRU-A
+    gather indices; last_sig, last_exc, deemph — the non-GRU state after
+    the segment). Shared by the scan and pallas teacher-advance paths."""
+    preemph = cfg.preemph
+    lp = cond["lpc"]
+    B, ns = target.shape
+
+    # deemphasis / forced-signal chain (sample_step step 7): sequential but
+    # scalar-per-stream; replicate the exact op order of sample_step
+    def dscan(d, t):
+        pd = preemph * d
+        tf = t - pd
+        return tf + pd, tf
+
+    deemph, tf = jax.lax.scan(dscan, state["deemph"], target.T)
+    tf = tf.T                                           # (B, ns) pcm values
+
+    # lagged forced-signal matrix -> batched LPC prediction for all samples
+    sig_seq = jnp.concatenate([state["last_sig"][:, ::-1], tf], axis=1)
+    lags = jnp.stack(
+        [sig_seq[:, LPC_ORDER - 1 - j:LPC_ORDER - 1 - j + ns]
+         for j in range(LPC_ORDER)], axis=-1)           # (B, ns, 16)
+    pred = -jnp.sum(lags * lp[:, None, :], axis=-1)
+    exc = lin2ulaw(tf - pred)
+    lsu = lin2ulaw(lags[..., 0])                        # last_sig[i][0]
+    pu = lin2ulaw(pred)
+    exc_prev = jnp.concatenate([state["last_exc"][:, None], exc[:, :-1]],
+                               axis=1)
+    return {"lsu": lsu, "pu": pu, "exc_prev": exc_prev,
+            "last_sig": sig_seq[:, -LPC_ORDER:][:, ::-1],
+            "last_exc": exc[:, -1], "deemph": deemph}
+
+
 def synthesize_frames(tables: Dict[str, Any], state: Dict[str, jax.Array],
                       conds: Dict[str, jax.Array], cfg,
                       target: Optional[jax.Array] = None,

@@ -96,8 +96,20 @@ class PLCEngine:
 
     def _synth_samples(self, synth_state, cond, nsamples, target=None,
                        preload=None, n_active=None):
-        """Backend-dispatched sample synthesis under one condition set."""
+        """Backend-dispatched sample synthesis under one condition set.
+        FULLY teacher-forced calls (target given, no partial preload /
+        n_active) take the AR-free fast path: the forced output IS the
+        target, so sample_scan.teacher_advance batches the mu-law/embedding
+        math over all samples and only runs the GRU recurrences
+        sequentially — a large cut of the PLC step's serialized cost."""
         cond = {k: cond[k] for k in ("cond_a", "cond_b", "lpc")}
+        if target is not None and preload is None and n_active is None:
+            if self.backend == "pallas":
+                from .kernels import sample_pallas
+                return sample_pallas.teacher_advance_pallas(
+                    self.tables, synth_state, cond, self.cfg, target)
+            return sample_scan.teacher_advance(
+                self.tables, synth_state, cond, self.cfg, target)
         if self.backend == "pallas":
             from .kernels import sample_pallas
             return sample_pallas.synth_samples_pallas(
@@ -313,14 +325,13 @@ class PLCEngine:
         lb = lost | blend
         plc_net_out = self._sel_mask(lb, plc_lb, plc_g)
 
-        # --- synthesis pass B: teacher-forced resync for good streams
+        # --- synthesis pass B: teacher-forced resync for good streams —
+        # fully forced, so it dispatches to the AR-free teacher_advance
         featsB = jnp.zeros((B, NB_TOTAL_FEATURES), jnp.float32)
         featsB = featsB.at[:, :NB_FEATURES].set(
             jnp.where(blend[:, None], pred, featg))
-        preload = jnp.full((B,), FRAME_SIZE, jnp.int32)
         synthB, fnetB, _ = self._synth_frame(state["synth"], state["fnet"],
-                                             featsB, target=output,
-                                             preload=preload)
+                                             featsB, target=output)
 
         pick = lambda a, b: jnp.where(
             lost.reshape((B,) + (1,) * (a.ndim - 1)), a, b)

@@ -88,3 +88,33 @@ class TestPallasKernel:
         np.testing.assert_array_equal(np.asarray(pcm_v), np.asarray(pcm_b))
         np.testing.assert_array_equal(np.asarray(st_v["rng"]),
                                       np.asarray(st_b["rng"]))
+
+
+class TestTeacherAdvancePallas:
+    def test_matches_scan_teacher_advance(self, setup):
+        """teacher_advance_pallas (GRU-advance kernel, interpret mode) vs
+        sample_scan.teacher_advance — the fully-forced fast path the PLC
+        engines dispatch to; state and RNG exact, GRUs at float tolerance."""
+        voc, conds = setup
+        B = conds["cond_a"].shape[0]
+        cond = {k: conds[k][:, 0] for k in ("cond_a", "cond_b", "lpc")}
+        state = voc.reset(B, per_stream_rng=True)
+        # warm up with real sampling so every state entry is non-trivial
+        state, _ = sample_scan.synth_samples(voc.tables, state, cond, CFG,
+                                             23)
+        rs = np.random.RandomState(7)
+        target = jnp.asarray(
+            np.round(rs.randn(B, 160) * 2500).astype(np.float32))
+        st_scan, out_scan = sample_scan.teacher_advance(
+            voc.tables, state, cond, CFG, target)
+        st_pal, out_pal = sample_pallas.teacher_advance_pallas(
+            voc.tables, state, cond, CFG, target, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_pal),
+                                      np.asarray(out_scan))
+        for k in ("gru_a", "gru_b"):
+            np.testing.assert_allclose(np.asarray(st_pal[k]),
+                                       np.asarray(st_scan[k]), atol=2e-6,
+                                       err_msg=k)
+        for k in ("last_sig", "last_exc", "deemph", "rng"):
+            np.testing.assert_array_equal(np.asarray(st_pal[k]),
+                                          np.asarray(st_scan[k]), err_msg=k)

@@ -364,3 +364,42 @@ class TestSpeechCheckpoints:
         err = np.abs(pred - tgt)[lost > 0].mean()
         base = np.abs(tgt)[lost > 0].mean()
         assert err < 0.7 * base, (err, base)      # measured 0.42 vs 1.01
+
+
+class TestTeacherAdvance:
+    def test_matches_full_preload_synth(self):
+        """teacher_advance must reproduce synth_samples' state under FULL
+        preload BIT-EXACTLY (same float op order, same 2-draw/sample RNG
+        consumption) — it is the fast path the PLC good-frame resync uses."""
+        B, ns = 4, 160
+        voc = Synthesizer(CFG, rng=jax.random.PRNGKey(3), backend="scan")
+        rs = np.random.RandomState(5)
+        feats = jnp.asarray(
+            rs.randn(B, 1, NB_TOTAL_FEATURES).astype(np.float32) * 0.3)
+        cond = {k: v[:, 0] for k, v in voc.conditions(feats).items()
+                if k in ("cond_a", "cond_b", "lpc")}
+        target = jnp.asarray(
+            np.round(rs.randn(B, ns) * 3000).astype(np.float32))
+        # warm the state so histories are non-trivial
+        st0 = voc.reset(B, per_stream_rng=True)
+        st0, _ = sample_scan.synth_samples(voc.tables, st0, cond, CFG, 37)
+
+        ref_st, ref_out = sample_scan.synth_samples(
+            voc.tables, st0, cond, CFG, ns, target=target,
+            preload=jnp.full((B,), ns, jnp.int32))
+        fast_st, fast_out = sample_scan.teacher_advance(
+            voc.tables, st0, cond, CFG, target)
+        np.testing.assert_array_equal(np.asarray(fast_out),
+                                      np.asarray(target))
+        for k in ref_st:
+            r, f = np.asarray(ref_st[k]), np.asarray(fast_st[k])
+            if k in ("gru_a", "gru_b"):
+                np.testing.assert_allclose(f, r, atol=2e-6, err_msg=k)
+            elif k in ("deemph", "last_sig"):
+                # t - preemph*d and (t-pd)+pd: XLA fuses mul-add into an
+                # FMA in one of the two graphs -> 1-ulp flips at +-32768
+                # scale (the same class as pallas-vs-scan backend flips)
+                np.testing.assert_allclose(f, r, rtol=1e-5, err_msg=k)
+            else:
+                # the mu-law excitation and RNG stream must match exactly
+                np.testing.assert_array_equal(f, r, err_msg=k)
