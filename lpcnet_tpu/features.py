@@ -36,6 +36,16 @@ _INTERP = np.array([0.026184, -0.098339, 0.369938, 0.837891, -0.184969,
                     0.070242, -0.020947], dtype=np.float32)
 
 
+def _sliding_frames(x: jax.Array, n: int, hop: int, width: int) -> jax.Array:
+    """(B, S) -> (B, n, width) overlapped frames at stride `hop`, built from
+    `width` strided slices instead of an integer-indexed gather (TPU lowers
+    gathers to the scalar core at ~1 element/cycle; strided slices are
+    vector copies)."""
+    cols = [jax.lax.slice_in_dim(x, o, o + (n - 1) * hop + 1, hop, axis=1)
+            for o in range(width)]
+    return jnp.stack(cols, axis=-1)
+
+
 def init_state(batch: int) -> Dict[str, jax.Array]:
     """Fresh analysis state (lpcnet_encoder_init, lpcnet_enc.c:471-475)."""
     return {
@@ -114,8 +124,7 @@ def pitch_xcorr(exc_stream: jax.Array) -> Tuple[jax.Array, jax.Array]:
     S = exc_stream.shape[1] - PITCH_MAX_PERIOD
     nsub = S // _HALF
     # segments y: (B, nsub, 336) = lags 0..255 + the 80 current samples
-    idx = (jnp.arange(nsub)[:, None] * _HALF + jnp.arange(_SEG)[None, :])
-    seg = exc_stream[:, idx]                     # (B, nsub, 336)
+    seg = _sliding_frames(exc_stream, nsub, _HALF, _SEG)  # (B, nsub, 336)
     x = seg[..., PITCH_MAX_PERIOD:]              # (B, nsub, 80) current
     # FFT cross-correlation: xcorr[i] = sum_m x[m] * seg[i + m]
     Fy = jnp.fft.rfft(seg, n=_NFFT, axis=-1)
@@ -152,15 +161,21 @@ def pitch_xcorr(exc_stream: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def _halving_penalty(xc: jax.Array) -> jax.Array:
     """Penalize lags whose half-lag correlates nearly as well
-    (lpcnet_enc.c:607-610). xc: (..., 256)."""
-    i = np.arange(PITCH_MAX_PERIOD - 2 * PITCH_MIN_PERIOD)
-    h0 = (PITCH_MAX_PERIOD + i) // 2
-    h1 = (PITCH_MAX_PERIOD + i + 2) // 2
-    h2 = (PITCH_MAX_PERIOD + i - 1) // 2
-    xch = jnp.maximum(jnp.maximum(xc[..., h0], xc[..., h1]), xc[..., h2])
-    cond = xc[..., :len(i)] < xch * 1.1
-    penalized = jnp.where(cond, xc[..., :len(i)] * 0.8, xc[..., :len(i)])
-    return jnp.concatenate([penalized, xc[..., len(i):]], axis=-1)
+    (lpcnet_enc.c:607-610). xc: (..., 256).
+
+    The half-lag reads are repeat-of-slice patterns, written as such: TPU
+    lowers integer-indexed gathers to the scalar core (~1 element/cycle),
+    which made this the feature pass's hottest op; slices+repeat are
+    vector copies. h0 = 128+i//2, h1 = 129+i//2, h2 = 127+(i+1)//2."""
+    n = PITCH_MAX_PERIOD - 2 * PITCH_MIN_PERIOD          # 192
+    half = n // 2 + 1                                    # 97
+    v0 = jnp.repeat(xc[..., 128:128 + half], 2, axis=-1)[..., :n]
+    v1 = jnp.repeat(xc[..., 129:129 + half], 2, axis=-1)[..., :n]
+    v2 = jnp.repeat(xc[..., 127:127 + half], 2, axis=-1)[..., 1:n + 1]
+    xch = jnp.maximum(jnp.maximum(v0, v1), v2)
+    cond = xc[..., :n] < xch * 1.1
+    penalized = jnp.where(cond, xc[..., :n] * 0.8, xc[..., :n])
+    return jnp.concatenate([penalized, xc[..., n:]], axis=-1)
 
 
 def viterbi_scan(state: Dict[str, jax.Array], xc: jax.Array, fw: jax.Array):
@@ -178,28 +193,30 @@ def viterbi_scan(state: Dict[str, jax.Array], xc: jax.Array, fw: jax.Array):
         xcs, w = inp  # (B, 256), (B,)
         xcs = _halving_penalty(xcs)
         floor = path_all - 6.0
-        # candidates j in -4..4: path[i+j] - .02 j^2
-        cands = []
-        ptrs = []
-        iidx = jnp.arange(_NSTATES)
-        cands.append(jnp.broadcast_to(floor[:, None], (B, _NSTATES)))
-        ptrs.append(jnp.broadcast_to(best_prev[:, None], (B, _NSTATES)))
+        # candidates j in -4..4: path[i+j] - .02 j^2. path[i+j] is a
+        # SHIFTED SLICE of a -inf-padded path, not a gather (TPU gathers
+        # run on the scalar core and dominated the whole feature pass);
+        # out-of-range positions read the -inf padding, matching the old
+        # `valid` mask.
+        padded = jnp.pad(path, ((0, 0), (4, 4)),
+                         constant_values=-jnp.inf)
+        cands = [jnp.broadcast_to(floor[:, None], (B, _NSTATES))]
+        ptrs = [jnp.broadcast_to(best_prev[:, None], (B, _NSTATES))]
         for j in range(-4, 5):
-            src = iidx + j
-            valid = (src >= 0) & (src < _NSTATES)
-            v = jnp.where(valid[None, :],
-                          path[:, jnp.clip(src, 0, _NSTATES - 1)]
-                          - 0.02 * j * j, -jnp.inf)
-            cands.append(v)
-            ptrs.append(jnp.broadcast_to(jnp.clip(src, 0, _NSTATES - 1)
-                                         [None, :], (B, _NSTATES)))
+            cands.append(padded[:, j + 4:j + 4 + _NSTATES] - 0.02 * j * j)
+            ptrs.append(jnp.broadcast_to(
+                jnp.asarray(np.clip(np.arange(_NSTATES) + j, 0,
+                                    _NSTATES - 1))[None, :], (B, _NSTATES)))
         cands = jnp.stack(cands, axis=0)   # (10, B, 224)
         ptrs = jnp.stack(ptrs, axis=0)
         # C scans floor first then j ascending, updating on strictly-greater:
         # equivalent to first-occurrence argmax in this stacking order.
         sel = jnp.argmax(cands, axis=0)
         max_prev = jnp.max(cands, axis=0)
-        bp = jnp.take_along_axis(ptrs, sel[None], axis=0)[0]
+        # select ptr rows by one-hot sum (VPU) instead of take_along_axis
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, cands.shape, 0)
+                  == sel[None]).astype(jnp.int32)
+        bp = jnp.sum(ptrs * onehot, axis=0)
         new_path = max_prev + w[:, None] * xcs[:, :_NSTATES]
         best = jnp.argmax(new_path, axis=-1).astype(jnp.int32)
         mall = jnp.max(new_path, axis=-1)
@@ -328,9 +345,7 @@ def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
 
     # 2-3. window -> cepstrum -> LPC
     full = jnp.concatenate([state["analysis_mem"], xp], axis=-1)
-    widx = (jnp.arange(T)[:, None] * FRAME_SIZE
-            + jnp.arange(WINDOW_SIZE)[None, :])
-    windows = full[:, widx]                     # (B, T, 320)
+    windows = _sliding_frames(full, T, FRAME_SIZE, WINDOW_SIZE)  # (B,T,320)
     ceps, _ = cepstrum_from_frames(windows)
     lpc, _ = dsp.lpc_from_cepstrum(ceps)
 

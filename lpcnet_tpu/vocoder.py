@@ -39,6 +39,17 @@ class Synthesizer:
                        if jax.devices()[0].platform in ("tpu", "axon")
                        else "scan")
         self.backend = backend
+        # pallas kernel knobs (sample_pallas module docstring documents the
+        # measured tradeoffs): LPCNET_KERNEL_VARIANT=base|fuse|opt,
+        # LPCNET_KERNEL_TABLES=f32|bf16 (bf16 embedding tables: 4x MXU rate
+        # for the one-hot gathers). All variants are bit-identical except
+        # bf16 tables (reduced-precision embeddings).
+        import os
+        self.kernel_variant = os.environ.get("LPCNET_KERNEL_VARIANT",
+                                             "base")
+        self.table_dtype = (jnp.bfloat16
+                            if os.environ.get("LPCNET_KERNEL_TABLES")
+                            == "bf16" else jnp.float32)
         self._synth = jax.jit(self._synth_impl)
         self._synth_teacher = jax.jit(self._synth_teacher_impl)
 
@@ -58,7 +69,8 @@ class Synthesizer:
         if self.backend == "pallas":
             from .kernels import sample_pallas
             return sample_pallas.synthesize_frames_pallas(
-                self.tables, state, conds, self.cfg)
+                self.tables, state, conds, self.cfg,
+                table_dtype=self.table_dtype, variant=self.kernel_variant)
         return sample_scan.synthesize_frames(self.tables, state, conds,
                                              self.cfg)
 
