@@ -37,13 +37,21 @@ _INTERP = np.array([0.026184, -0.098339, 0.369938, 0.837891, -0.184969,
 
 
 def _sliding_frames(x: jax.Array, n: int, hop: int, width: int) -> jax.Array:
-    """(B, S) -> (B, n, width) overlapped frames at stride `hop`, built from
-    `width` strided slices instead of an integer-indexed gather (TPU lowers
-    gathers to the scalar core at ~1 element/cycle; strided slices are
-    vector copies)."""
-    cols = [jax.lax.slice_in_dim(x, o, o + (n - 1) * hop + 1, hop, axis=1)
-            for o in range(width)]
-    return jnp.stack(cols, axis=-1)
+    """(B, S) -> (B, n, width) overlapped frames at stride `hop`, as
+    reshape + ceil(width/hop) block slices instead of an integer-indexed
+    gather (TPU lowers gathers to the scalar core at ~1 element/cycle;
+    reshape/slice/concat are vector copies). Frame starts are hop-aligned
+    by construction, so frame i is blocks [i, i+nblk) of the hop-blocked
+    signal, truncated to `width`."""
+    B, S = x.shape
+    nblk = -(-width // hop)
+    need = (n - 1 + nblk) * hop
+    if S < need:
+        x = jnp.pad(x, ((0, 0), (0, need - S)))
+    blocks = x[:, :need].reshape(B, n - 1 + nblk, hop)
+    out = jnp.concatenate([blocks[:, i:i + n] for i in range(nblk)],
+                          axis=-1)
+    return out[..., :width]
 
 
 def init_state(batch: int) -> Dict[str, jax.Array]:
