@@ -25,12 +25,17 @@ bit-exact-class replica of the C's default causal engine (concealed and
 blend frames match the compiled reference within +-1 rounding flips — see
 tests/test_ref_parity.py::TestStrictPLCEngineParity).
 
-Perf (v5e, 2026-08): run() at B=1024 measures 613x RT with the pallas
-synthesis backend and the single shared feature pass (was 447x with two
-passes, 139x on the scan backend). Step-cost ablation (stubbing
-components inside the jitted run): feature extraction and the two
-synthesis passes dominate; burg ~2%. Micro-timings of standalone pieces
-are unreliable under the async transport — trust whole-run ablations.
+Perf (v5e, 2026-08, round 3): run() at B=1024 measures 1050x RT with the
+pallas backend (round 2: 613x; scan backend: 139x). Whole-run ablation
+at B=1024 (ms per frame-step): full 9.8 = free-run pallas pass ~4.1
++ teacher_advance pass ~2.8 + feature pass ~1.1 + burg/PLC-net/FEC ~1.8.
+The round-3 gains: (1) feature pass 6.4 -> 1.1 ms by eliminating
+scalar-core gathers (see features.py — Viterbi transitions, half-lag
+penalty, windowing and xcorr segments are slices/repeats in disguise);
+(2) the fully-forced resync pass dispatches to the AR-free GRU-advance
+kernel (sample_pallas.teacher_advance_pallas). Micro-timings of
+standalone pieces are unreliable under the async transport — trust
+whole-run ablations and jax.profiler traces.
 
 Feature queue for FEC (forward error correction via DRED) follows
 lpcnet_plc_fec_add / get_fec_or_pred / fec_rewind (lpcnet_plc.c:111-173).
