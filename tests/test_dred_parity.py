@@ -91,6 +91,39 @@ class TestDREDParity:
         for row, name in zip(raw, order):
             np.testing.assert_array_equal(row, ours[name], err_msg=name)
 
+    def test_shipped_artifact_deploys(self, harness):
+        """The COMMITTED DRED checkpoint (examples/speech_dred_params.bin)
+        exported with export_rdovae_blob runs in the actual reference C
+        encoder with 1-ulp latent agreement — the TPU-trained artifact
+        deploys into the reference runtime (download_model.sh parity)."""
+        import jax
+        import jax.numpy as jnp
+        from lpcnet_tpu.cli import load_dred_model
+        from lpcnet_tpu.models import rdovae as rv
+        from lpcnet_tpu.utils import export_ref
+        bin_path, _, _, _, tmp = harness
+        ship = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "examples", "speech_dred_params.bin")
+        if not os.path.exists(ship):
+            pytest.skip("shipped DRED artifact missing")
+        params, cfg = load_dred_model(ship)
+        cfg = rv.RDOVAEConfig(cond_size=cfg.cond_size,
+                              cond_size2=cfg.cond_size2, approx=True)
+        export_ref.export_rdovae_blob(
+            jax.tree.map(np.asarray, params), str(tmp / "ship.bin"))
+        rs = np.random.RandomState(31)
+        T = 16
+        feats = (rs.randn(1, 2 * T, 20) * 0.3).astype(np.float32)
+        feats.reshape(T, 40).tofile(tmp / "ship_in.f32")
+        r = subprocess.run(
+            [bin_path, "enc", str(tmp / "ship.bin"), str(tmp / "ship_in.f32"),
+             str(tmp / "ship_lat.f32"), str(tmp / "ship_st.f32")],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref_lat = np.fromfile(tmp / "ship_lat.f32", np.float32).reshape(-1, 80)
+        z, _ = rv.encode(params, jnp.asarray(feats), cfg)
+        assert np.abs(np.asarray(z[0]) - ref_lat).max() < 1e-4
+
     def test_decoder(self, harness):
         import jax.numpy as jnp
         from lpcnet_tpu.models import rdovae as rv

@@ -138,6 +138,46 @@ class TestDRED:
         assert (np.diff(ramp) <= 0).all()
 
 
+class TestShippedDRED:
+    """The committed artifact (examples/speech_dred_params.bin, epoch-50
+    cond-256 checkpoint of the train-rdovae recipe, rate-distortion table
+    in the .json sidecar) must load as the CLI default and beat random
+    init by a wide margin on clean speech features — the counterpart of
+    the reference's download_model.sh DRED weights."""
+
+    def test_default_load_and_quality(self):
+        from lpcnet_tpu import features as F
+        from lpcnet_tpu.cli import load_dred_model
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "examples", "speech_dred_params.bin")
+        if not os.path.exists(path):
+            pytest.skip("shipped DRED artifact missing")
+        params, cfg = load_dred_model(None)
+        assert (cfg.cond_size, cfg.cond_size2) == (256, 256)
+        pcm = np.fromfile(os.path.join(os.path.dirname(__file__), "golden",
+                                       "speech.s16"), np.int16)
+        st = F.init_state(1)
+        _, feats, _ = F.compute_features(
+            st, jnp.asarray(pcm[None, :160 * 160].astype(np.float32)))
+        feats = feats[:, :160, :20]              # T % 8 == 0
+
+        def roundtrip(p):
+            z, state = rv.encode(p, feats, cfg)
+            zd, sd = z[:, 1::2], rv.pvq_quantize(state[:, 1::2], cfg.pvq_k)
+            qp = rv.quant_params(p, jnp.zeros(zd.shape[:2], jnp.int32), cfg)
+            sym = jnp.round(rv.apply_dead_zone(zd * qp["scale"],
+                                               qp["dead_zone"]))
+            out = rv.decode(p, sym / qp["scale"], sd[:, 0], cfg)
+            n = min(out.shape[1], feats.shape[1])
+            return float(jnp.sqrt(jnp.mean((out[:, :n] - feats[:, :n]) ** 2)))
+
+        rms = roundtrip(params)
+        rnd = roundtrip(rv.init_params(jax.random.PRNGKey(99), cfg))
+        # sidecar: holdout rms 0.303 @ q0 (random init 2.098)
+        assert rms < 0.8, rms
+        assert rms < 0.4 * rnd, (rms, rnd)
+
+
 class TestFecFiles:
     def test_roundtrip(self):
         rs = np.random.RandomState(0)
