@@ -63,9 +63,10 @@ def loss_fn(params, batch, cfg=plc_model.PLCConfig(), alpha=1.0, bias=0.0):
 
 
 def make_optimizer(lr: float = 1e-3, decay: float = 2.5e-5):
-    """Adam + 1/(1+decay t) (train_plc.py:143-148)."""
+    """Adam(beta2=.99) + 1/(1+decay t): the reference driver's defaults
+    when lr is omitted (train_plc.py:143-148, opt at :225)."""
     sched = lambda t: lr / (1.0 + decay * t)
-    return optax.chain(optax.scale_by_adam(),
+    return optax.chain(optax.scale_by_adam(b2=0.99),
                        optax.scale_by_learning_rate(sched))
 
 
