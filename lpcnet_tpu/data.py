@@ -13,6 +13,7 @@ A pure-NumPy fallback covers steps 1 and 3 when the native library is
 unavailable (slower; used in tests).
 """
 import ctypes
+import sys
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -224,11 +225,23 @@ def prepare_training_data_batch(pcm: np.ndarray, seeds,
         x, noise = augment(base, seed)
         xs.append(x)
         noises.append(noise)
-    # common length: whole superframes of the shortest pass
+    # common length: whole superframes of the shortest pass. Longer
+    # (slow-speed) passes keep a seeded random window, not always their
+    # head, so the source tail is still seen across the corpus; report
+    # batch utilization so the cap is never silent.
     T = min(len(x) for x in xs) // FRAME_SIZE // 4 * 4
     S = T * FRAME_SIZE
-    X = np.stack([x[:S] for x in xs])                   # (N, S)
-    noises = [n[:S] for n in noises]
+    offs = [np.random.RandomState(seed ^ 0x0FF5E7)
+            .randint(0, (len(x) - S) // FRAME_SIZE + 1) * FRAME_SIZE
+            for seed, x in zip(seeds, xs)]
+    X = np.stack([x[o:o + S] for o, x in zip(offs, xs)])  # (N, S)
+    noises = [n[o:o + S] for o, n in zip(offs, noises)]
+    gen = sum(len(x) for x in xs)
+    if N > 1 and S * N < 0.95 * gen:
+        print("  [batch] keeping %.0f%% of generated samples "
+              "(shortest pass sets the batch length; longer passes "
+              "contribute random windows)" % (100.0 * S * N / gen),
+              file=sys.stderr)
 
     state = F.init_state(N)
     z, _ = dsp.deemphasis_scan(jnp.asarray(X), jnp.zeros(N))

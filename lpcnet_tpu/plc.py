@@ -108,7 +108,8 @@ class PLCEngine:
         math over all samples and only runs the GRU recurrences
         sequentially — a large cut of the PLC step's serialized cost."""
         cond = {k: cond[k] for k in ("cond_a", "cond_b", "lpc")}
-        if target is not None and preload is None and n_active is None:
+        if (target is not None and preload is None and n_active is None
+                and target.shape[1] == nsamples):
             if self.backend == "pallas":
                 from .kernels import sample_pallas
                 return sample_pallas.teacher_advance_pallas(

@@ -30,14 +30,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lpcnet_tpu.cli import load_model_params, read_features
+    from lpcnet_tpu.cli import load_dred_model, read_features
     from lpcnet_tpu.constants import NB_FEATURES
     from lpcnet_tpu.models import rdovae as rv
 
-    params = load_model_params(args.ckpt, rv.init_params, rng_seed=2)
-    cfg = rv.RDOVAEConfig(
-        cond_size=int(np.shape(params["enc"]["gru2"]["wr"])[0]),
-        cond_size2=int(np.shape(params["enc"]["dense1"]["w"])[1]))
+    params, cfg = load_dred_model(args.ckpt)
     rnd = rv.init_params(jax.random.PRNGKey(99), cfg)
 
     feats = read_features(args.features)[:, :NB_FEATURES]

@@ -22,5 +22,8 @@ gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ -DDISABLE_DOT_PROD \
   $REF/src/dred_rdovae_enc.c $REF/src/dred_rdovae_dec.c \
   $REF/src/dred_rdovae.c $EXTRA \
   $REF/src/nnet.c $REF/src/kiss99.c $REF/src/parse_lpcnet_weights.c \
-  "$HERE"/dred_main.c -lm -o "$OUT"/ref_dred 2>&1 | grep -v warning || true
+  "$HERE"/dred_main.c -lm -o "$OUT"/ref_dred > "$OUT"/build.log 2>&1 || {
+    grep -v warning "$OUT"/build.log >&2 || true
+    exit 1
+  }
 echo "$OUT"/ref_dred

@@ -100,8 +100,13 @@ int main(int argc, char **argv) {
     /* stats out.bin n_entries: dump the q8/q10/q15 entropy-model tables
        through the reference accessors (dred_rdovae.c:118-136); only
        meaningful when built against generated dred_rdovae_stats_data. */
-    int n = atoi(argv[3]);
-    FILE *f = fopen(argv[2], "wb");
+    int n;
+    FILE *f;
+    if (argc < 4) { fprintf(stderr, "usage: %s stats out.bin n_entries\n",
+                            argv[0]); return 1; }
+    n = atoi(argv[3]);
+    f = fopen(argv[2], "wb");
+    if (!f) { perror(argv[2]); return 1; }
     fwrite(DRED_rdovae_get_quant_scales_pointer(), sizeof(opus_uint16), n, f);
     fwrite(DRED_rdovae_get_dead_zone_pointer(), sizeof(opus_uint16), n, f);
     fwrite(DRED_rdovae_get_r_pointer(), sizeof(opus_uint16), n, f);
@@ -109,6 +114,8 @@ int main(int argc, char **argv) {
     fclose(f);
     return 0;
   }
+  if (argc < 6) { fprintf(stderr, "usage: %s enc|dec blob.bin in out1 out2\n",
+                          argv[0]); return 1; }
   data = read_all(argv[2], &len);
   if (parse_weights(&list, data, len) < 0) {
     fprintf(stderr, "bad blob\n"); return 1;
@@ -120,6 +127,7 @@ int main(int argc, char **argv) {
     FILE *fin = fopen(argv[3], "rb");
     FILE *flat = fopen(argv[4], "wb");
     FILE *fst = fopen(argv[5], "wb");
+    if (!fin || !flat || !fst) { perror("enc open"); return 1; }
     if (init_rdovae_enc(&model, list)) {
       fprintf(stderr, "enc init failed\n"); return 1; }
     memset(&st, 0, sizeof(st));
@@ -135,6 +143,7 @@ int main(int argc, char **argv) {
     FILE *fst = fopen(argv[3], "rb");
     FILE *flat = fopen(argv[4], "rb");
     FILE *fout = fopen(argv[5], "wb");
+    if (!fst || !flat || !fout) { perror("dec open"); return 1; }
     if (init_rdovae_dec(&model, list)) {
       fprintf(stderr, "dec init failed\n"); return 1; }
     memset(&st, 0, sizeof(st));

@@ -27,5 +27,8 @@ gcc -O2 -U__SSE2__ -U__AVX__ -U__SSE__ $DOTP -DUSE_WEIGHTS_FILE \
   $REF/src/parse_lpcnet_weights.c $REF/src/lpcnet_tables.c \
   "$SYNTH"/nnet_data.c "$SYNTH"/stubs.c "$HERE"/codebook_stubs.c "$HERE"/plc_init.c \
   "$HERE"/engine_main.c -lm -o "$OUT"/ref_plc_engine \
-  2>&1 | grep -v warning || true
+  > "$OUT"/build.log 2>&1 || {
+    grep -v warning "$OUT"/build.log >&2 || true
+    exit 1
+  }
 echo "$OUT"/ref_plc_engine
