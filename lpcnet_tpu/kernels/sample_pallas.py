@@ -57,6 +57,7 @@ baseline for all numbers: variant="base", tile 256, B=1024 -> ~2730x RT,
     (parallel/mesh.py), which is collective-free.
 """
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -670,7 +671,11 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     return new_state, pcm.T
 
 
-MAX_BATCH_TILE = 256  # VMEM budget: weights ~5.5 MB + per-tile activations
+# VMEM budget: weights ~5.5 MB + per-tile activations. 512 overflows VMEM
+# (see header); tiles serialize with near-fixed latency, so a larger tile
+# that still fits raises throughput — override for experiments via
+# LPCNET_PALLAS_TILE (must be a multiple of 8).
+MAX_BATCH_TILE = int(os.environ.get("LPCNET_PALLAS_TILE", "256"))
 
 
 def synthesize_frame_pallas(tables: Dict[str, Any],

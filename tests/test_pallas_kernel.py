@@ -89,6 +89,23 @@ class TestPallasKernel:
         np.testing.assert_array_equal(np.asarray(st_v["rng"]),
                                       np.asarray(st_b["rng"]))
 
+    def test_tile_size_invariant(self, setup, monkeypatch):
+        """Batch tiling (LPCNET_PALLAS_TILE) must not change output: the
+        same 8-stream batch run as one 8-wide tile vs four 2-wide grid
+        tiles is bit-identical, RNG state included."""
+        voc, conds = setup
+        B = conds["cond_a"].shape[0]
+        conds8 = jax.tree.map(lambda x: jnp.concatenate([x, x]), conds)
+        state = voc.reset(2 * B, per_stream_rng=True)
+        st_1, pcm_1 = sample_pallas.synthesize_frames_pallas(
+            voc.tables, state, conds8, CFG, interpret=True)
+        monkeypatch.setattr(sample_pallas, "MAX_BATCH_TILE", 2)
+        st_t, pcm_t = sample_pallas.synthesize_frames_pallas(
+            voc.tables, state, conds8, CFG, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pcm_t), np.asarray(pcm_1))
+        np.testing.assert_array_equal(np.asarray(st_t["rng"]),
+                                      np.asarray(st_1["rng"]))
+
 
 class TestTeacherAdvancePallas:
     def test_matches_scan_teacher_advance(self, setup):

@@ -605,3 +605,20 @@ class TestE2EWaveformParity:
         d = np.abs(ref[:n] - ours[:n])
         assert (d == 0).mean() > 0.9
         assert float(np.corrcoef(ref[:n], ours[:n])[0, 1]) > 0.99
+
+
+class TestBuildScriptsFailLoud:
+    """A broken reference build must exit non-zero, or ref_build_skip
+    (tests/conftest.py) never fires and LPCNET_REQUIRE_REF=1 cannot catch
+    toolchain regressions."""
+
+    @pytest.mark.parametrize("script", [
+        "tools/ref_synth/build.sh", "tools/ref_codec/build.sh",
+        "tools/ref_plc/build.sh", "tools/ref_plc/build_engine.sh",
+        "tools/ref_dred/build.sh", "tools/ref_fec/build.sh",
+    ])
+    def test_bad_reference_fails(self, script, tmp_path):
+        r = subprocess.run(["bash", script, "/nonexistent-reference",
+                            str(tmp_path)], capture_output=True, text=True,
+                           cwd="/root/repo")
+        assert r.returncode != 0, (script, r.stdout[-400:], r.stderr[-400:])
