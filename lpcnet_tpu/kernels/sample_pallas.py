@@ -55,6 +55,14 @@ baseline for all numbers: variant="base", tile 256, B=1024 -> ~2730x RT,
     (tiles serialize, per-tile latency fixed) — the per-chip ceiling of
     this architecture; scale further via stream-DP across chips
     (parallel/mesh.py), which is collective-free.
+  * variant="flat" (round 3): the threshold lookups + tree walk are
+    ~16 chain-serialized (B,256)-wide mask/reduce groups per sample — a
+    large slice of the ~6 us serialized chain. The flat form batches the
+    8 threshold lookups into one (B,8,256) reduce and scores all 256
+    leaves with narrow per-level compares + a doubling score build (total
+    work ~ one (B,256) op), ending in a single weighted reduce. Same
+    strict comparisons, bit-identical (test_pallas_kernel). Measured on
+    v5e: see the kernel-variant table in PERF.md.
 """
 import functools
 import os
@@ -70,6 +78,30 @@ from ..constants import LPC_ORDER
 from ..ops.tables import SAMPLING_LOGIT_TABLE
 
 _LOG256 = np.float32(5.5451774445)
+
+
+def _bitrev(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+# variant="flat" static tables. The 8-bit tree walk (nnet.c:186-211) visits
+# heap node 2^b + p at level b, where p is the b-bit prefix already decided.
+# The flattened evaluation instead scores ALL 256 leaves at once and builds
+# the score by doubling a (B, 2^b) array; doubling appends the new
+# hypothesis bit in the HIGH position, so leaf r is the BIT-REVERSED value.
+# _FLAT_PERM permutes the dual-FC columns so each level's slice
+# logits[:, 2^b:2^{b+1}] arrives already in that reversed order, and
+# _FLAT_LEAF maps the winning column back to the sampled byte.
+_FLAT_PERM = np.arange(256, dtype=np.int64)
+for _b in range(8):
+    for _p in range(1 << _b):
+        _FLAT_PERM[(1 << _b) + _bitrev(_p, _b)] = (1 << _b) + _p
+_FLAT_LEAF = np.array([_bitrev(_r, 8) for _r in range(256)],
+                      np.float32)[None, :]
 
 
 def _lin2ulaw(x):
@@ -126,7 +158,8 @@ def _sigmoid(x):
 
 def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
                 nsamples: int, preemph: float, wdtype,
-                read_target=None, preload=None, n_active=None):
+                read_target=None, preload=None, n_active=None,
+                flat_tree: bool = False):
     """The shared per-frame sample loop: `nsamples` AR steps under one
     condition set, writing rounded samples via write_pcm(i, out). `carry` is
     (gru_a, gru_b, last_sig, last_exc, deemph, rng); returns the final
@@ -137,9 +170,23 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
     target instead of the sampled excitation. n_active: (B,) — steps
     i >= n_active[b] freeze that stream's state and emit 0 (the batched
     form of the C's variable-length synthesize calls). The RNG advances
-    on active steps exactly as in sampling-only mode."""
-    (tbl_sig, tbl_pred, tbl_exc, wr_a, br_a, wi_b, wr_b, br_b,
-     dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl) = weights
+    on active steps exactly as in sampling-only mode.
+
+    flat_tree: evaluate the 8-bit sampling tree FLAT instead of walking it.
+    The walk is 8 chain-serialized (threshold lookup, masked 256-wide
+    reduce, compare) groups per sample; the flat form does one batched
+    (B,8,256) threshold lookup, 8 narrow per-level compares, a doubling
+    score build (2+4+...+256 columns total, about one (B,256) op of work),
+    and a single weighted reduce to read off the unique all-levels-match
+    leaf. Bit-identical by construction: the same strict thr<logit
+    comparisons decide every bit. Requires the dual-FC weights permuted by
+    _FLAT_PERM and leaf_tbl=_FLAT_LEAF appended to `weights`."""
+    if flat_tree:
+        (tbl_sig, tbl_pred, tbl_exc, wr_a, br_a, wi_b, wr_b, br_b,
+         dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl, leaf_tbl) = weights
+    else:
+        (tbl_sig, tbl_pred, tbl_exc, wr_a, br_a, wi_b, wr_b, br_b,
+         dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl) = weights
     na = wr_a.shape[0]
 
     def gru(h, zrh, wr, br):
@@ -179,19 +226,40 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
         # thresholds: 2 KISS99 draws -> 8 logit-table bytes
         rng_n, r1 = _kiss99(rng)
         rng_n, r2 = _kiss99(rng_n)
-        thrs = []
-        for r in (r1, r2):
-            for k in range(4):
-                b = ((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
-                thrs.append(jnp.sum(_onehot(b, 256) * logit_tbl, axis=1))
-        # 8-bit tree walk with mask-selects (nnet.c:186-211)
-        val = jnp.zeros((gru_b.shape[0],), jnp.int32)
-        for b in range(8):
-            idx = val | (1 << b)
-            logit = jnp.sum(logits * _onehot(idx, 256), axis=1)
-            bit = (thrs[b] < logit).astype(jnp.int32)
-            val = (val << 1) | bit
-        exc = val
+        if flat_tree:
+            # one batched (B,8,256) lookup replaces 8 serialized ones
+            bytes8 = jnp.stack(
+                [((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                 for r in (r1, r2) for k in range(4)], axis=1)
+            iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 256), 2)
+            oh3 = (bytes8[:, :, None] == iota3).astype(jnp.float32)
+            thrs8 = jnp.sum(oh3 * logit_tbl[:, None, :], axis=2)
+            # flat tree: score every leaf, read off the unique match
+            score = None
+            for b in range(8):
+                sl = logits[:, (1 << b):(2 << b)]
+                bits = (thrs8[:, b:b + 1] < sl).astype(jnp.float32)
+                if score is None:
+                    score = jnp.concatenate([1.0 - bits, bits], axis=1)
+                else:
+                    score = jnp.concatenate(
+                        [score + (1.0 - bits), score + bits], axis=1)
+            exc = jnp.sum(jnp.where(score == 8.0, leaf_tbl, 0.0),
+                          axis=1).astype(jnp.int32)
+        else:
+            thrs = []
+            for r in (r1, r2):
+                for k in range(4):
+                    b = ((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                    thrs.append(jnp.sum(_onehot(b, 256) * logit_tbl, axis=1))
+            # 8-bit tree walk with mask-selects (nnet.c:186-211)
+            val = jnp.zeros((gru_b.shape[0],), jnp.int32)
+            for b in range(8):
+                idx = val | (1 << b)
+                logit = jnp.sum(logits * _onehot(idx, 256), axis=1)
+                bit = (thrs[b] < logit).astype(jnp.int32)
+                val = (val << 1) | bit
+            exc = val
         if read_target is not None:
             tgt = read_target(i)
             tf_sig = tgt - preemph * deemph
@@ -353,6 +421,38 @@ def _frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
     gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop(
         weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
         nsamples, preemph, wdtype)
+    gru_a_out[:] = gru_a
+    gru_b_out[:] = gru_b
+    sig_out[:] = last_sig
+    exc_out[:] = exc[:, None]
+    deemph_out[:] = deemph[:, None]
+    rng_out[:] = rng
+
+
+def _frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
+                       tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                       wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
+                       dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
+                       logit_tbl_ref, leaf_tbl_ref,
+                       gru_a_in, gru_b_in, sig_in, exc_in, deemph_in,
+                       rng_in, gru_a_out, gru_b_out, sig_out, exc_out,
+                       deemph_out, rng_out, pcm_ref, *, nsamples: int,
+                       preemph: float, wdtype=jnp.float32):
+    """_frame_kernel with the flat (non-walked) sampling tree; the dual-FC
+    weight columns must arrive permuted by _FLAT_PERM."""
+    weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                            wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
+                            br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
+                            dfc_f_ref, logit_tbl_ref) + (leaf_tbl_ref[:],)
+    init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
+            deemph_in[:, 0], rng_in[:])
+
+    def write_pcm(i, out):
+        pcm_ref[i, :] = out
+
+    gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop(
+        weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
+        nsamples, preemph, wdtype, flat_tree=True)
     gru_a_out[:] = gru_a
     gru_b_out[:] = gru_b
     sig_out[:] = last_sig
@@ -691,16 +791,20 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
     MAX_BATCH_TILE run as a grid of stream tiles; the weight blocks have a
     constant index map so they stay VMEM-resident across tiles.
     variant: 'opt' (fused embed/dual-FC matmuls + pipelined thresholds,
-    bit-identical output) or 'base'. Returns (new_state, pcm (B, 160))."""
+    bit-identical output), 'flat' (flattened sampling tree: batched
+    threshold lookup + all-leaf scoring instead of the 8-step serialized
+    walk, bit-identical output), or 'base'.
+    Returns (new_state, pcm (B, 160))."""
     B = cond_a.shape[0]
     fs = cfg.frame_size
     dfc = tables["dual_fc"]
     logit_tbl = jnp.asarray(SAMPLING_LOGIT_TABLE)[None, :]
     opt = variant in ("opt", "fuse")
+    flat = variant == "flat"
 
     bt = min(B, MAX_BATCH_TILE)
     assert B % bt == 0, f"batch {B} must be a multiple of {bt}"
-    n_weights = 10 if opt else 13
+    n_weights = 10 if opt else (14 if flat else 13)
     if B == bt:
         # single tile: full-array blocks, no grid pipeline copies (fastest)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -741,6 +845,8 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
                 wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
                 wspec((2, 256)), wspec((1, 256)),
             ]
+            if flat:
+                weight_specs.append(wspec((1, 256)))
         in_specs = (
             [bspec(3 * na), bspec(3 * nb), bspec(LPC_ORDER)]
             + weight_specs
@@ -775,15 +881,26 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
             jnp.concatenate([dfc["b"][0], dfc["b"][1]])[None, :],
             dfc["factor"], logit_tbl)
     else:
-        kernel = functools.partial(_frame_kernel, nsamples=fs,
+        kfn = _frame_kernel_flat if flat else _frame_kernel
+        kernel = functools.partial(kfn, nsamples=fs,
                                    preemph=cfg.preemph, wdtype=table_dtype)
+        if flat:
+            # permute the dual-FC columns into the flat tree's level-slice
+            # order (tiny loop-invariant gathers, CSE'd across frame calls;
+            # _FLAT_PERM stays a numpy index so numpy-held tables work too)
+            dfc_args = (dfc["w"][0][:, _FLAT_PERM], dfc["w"][1][:, _FLAT_PERM],
+                        dfc["b"][:, _FLAT_PERM], dfc["factor"][:, _FLAT_PERM])
+        else:
+            dfc_args = (dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"])
         weight_args = (
             tables["tbl_sig"].astype(table_dtype),
             tables["tbl_pred"].astype(table_dtype),
             tables["tbl_exc"].astype(table_dtype),
             tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
             tables["wr_b"], tables["br_b"][None, :],
-            dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"], logit_tbl)
+            *dfc_args, logit_tbl)
+        if flat:
+            weight_args = weight_args + (jnp.asarray(_FLAT_LEAF),)
     call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
                        out_specs=out_specs, interpret=interpret)
     if grid is not None:

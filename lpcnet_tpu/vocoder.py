@@ -40,7 +40,7 @@ class Synthesizer:
                        else "scan")
         self.backend = backend
         # pallas kernel knobs (sample_pallas module docstring documents the
-        # measured tradeoffs): LPCNET_KERNEL_VARIANT=base|fuse|opt,
+        # measured tradeoffs): LPCNET_KERNEL_VARIANT=base|fuse|opt|flat,
         # LPCNET_KERNEL_TABLES=f32|bf16 (bf16 embedding tables: 4x MXU rate
         # for the one-hot gathers). All variants are bit-identical except
         # bf16 tables (reduced-precision embeddings).
@@ -50,6 +50,10 @@ class Synthesizer:
         self.table_dtype = (jnp.bfloat16
                             if os.environ.get("LPCNET_KERNEL_TABLES")
                             == "bf16" else jnp.float32)
+        # LPCNET_PALLAS_INTERPRET=1: run the kernel in pallas interpret
+        # mode so the exact CLI pallas path can be driven on CPU (debug)
+        self.pallas_interpret = (os.environ.get("LPCNET_PALLAS_INTERPRET")
+                                 == "1")
         self._synth = jax.jit(self._synth_impl)
         self._synth_teacher = jax.jit(self._synth_teacher_impl)
 
@@ -70,7 +74,8 @@ class Synthesizer:
             from .kernels import sample_pallas
             return sample_pallas.synthesize_frames_pallas(
                 self.tables, state, conds, self.cfg,
-                table_dtype=self.table_dtype, variant=self.kernel_variant)
+                table_dtype=self.table_dtype, variant=self.kernel_variant,
+                interpret=self.pallas_interpret)
         return sample_scan.synthesize_frames(self.tables, state, conds,
                                              self.cfg)
 

@@ -73,7 +73,7 @@ class TestPallasKernel:
             np.testing.assert_array_equal(np.asarray(s1["rng"]),
                                           np.asarray(s2["rng"]))
 
-    @pytest.mark.parametrize("variant", ["fuse", "opt"])
+    @pytest.mark.parametrize("variant", ["fuse", "opt", "flat"])
     def test_variants_bit_identical(self, setup, variant):
         """The fused/pipelined restructurings (measured slower on v5e,
         kept for re-testing — see sample_pallas.py docstring) must stay
