@@ -523,6 +523,41 @@ def _tf_frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
     rng_out[:] = rng
 
 
+def _tf_frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
+                          tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                          wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
+                          dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
+                          logit_tbl_ref, leaf_tbl_ref, tgt_ref, pre_ref,
+                          act_ref,
+                          gru_a_in, gru_b_in, sig_in, exc_in, deemph_in,
+                          rng_in, gru_a_out, gru_b_out, sig_out, exc_out,
+                          deemph_out, rng_out, pcm_ref, *, nsamples: int,
+                          preemph: float, wdtype=jnp.float32):
+    """_tf_frame_kernel with the flat sampling tree (dual-FC columns
+    permuted by _FLAT_PERM)."""
+    weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
+                            wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
+                            br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
+                            dfc_f_ref, logit_tbl_ref) + (leaf_tbl_ref[:],)
+    init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
+            deemph_in[:, 0], rng_in[:])
+
+    def write_pcm(i, out):
+        pcm_ref[i, :] = out
+
+    gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop(
+        weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
+        nsamples, preemph, wdtype,
+        read_target=lambda i: tgt_ref[i, :],
+        preload=pre_ref[:, 0], n_active=act_ref[:, 0], flat_tree=True)
+    gru_a_out[:] = gru_a
+    gru_b_out[:] = gru_b
+    sig_out[:] = last_sig
+    exc_out[:] = exc[:, None]
+    deemph_out[:] = deemph[:, None]
+    rng_out[:] = rng
+
+
 def _teacher_kernel(cond_a_ref, cond_b_ref,
                     tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                     wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
@@ -661,7 +696,7 @@ def _host_kiss99(rng):
 def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
                          cond: Dict[str, jax.Array], cfg, nsamples: int,
                          target=None, preload=None, n_active=None,
-                         interpret: bool = False):
+                         interpret: bool = False, variant: str = "base"):
     """Fused-kernel twin of sample_scan.synth_samples: `nsamples` AR steps
     under ONE condition set with optional teacher forcing and per-stream
     active counts — the primitive the PLC engines are built on. Unlike the
@@ -669,7 +704,9 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     and state stay in VMEM, ~10x faster per frame at batch 1024.
 
     cond: cond_a (B,3Na), cond_b (B,3Nb), lpc (B,16); target (B,nsamples);
-    preload/n_active (B,) int32. Returns (new_state, (B, nsamples))."""
+    preload/n_active (B,) int32. variant: 'base' or 'flat' (flattened
+    sampling tree, bit-identical). Returns (new_state, (B, nsamples))."""
+    flat = variant == "flat"
     B = cond["cond_a"].shape[0]
     Bp = max(8, -(-B // 8) * 8) if B <= MAX_BATCH_TILE \
         else -(-B // MAX_BATCH_TILE) * MAX_BATCH_TILE
@@ -686,7 +723,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
         new_state, pcm = synth_samples_pallas(
             tables, pads["state"], pads["cond"], cfg, nsamples,
             target=pads["target"], preload=pads["preload"],
-            n_active=pads["n_active"], interpret=interpret)
+            n_active=pads["n_active"], interpret=interpret, variant=variant)
         return jax.tree.map(lambda x: x[:B], new_state), pcm[:B]
 
     dfc = tables["dual_fc"]
@@ -704,7 +741,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     bt = min(B, MAX_BATCH_TILE)
     if B == bt:
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        in_specs = [full] * 25
+        in_specs = [full] * (26 if flat else 25)
         out_specs = tuple([full] * 7)
         grid = None
     else:
@@ -725,6 +762,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
             wspec((nb, 3 * nb)), wspec((1, 3 * nb)),
             wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
             wspec((2, 256)), wspec((1, 256)),
+        ] + ([wspec((1, 256))] if flat else []) + [
             pl.BlockSpec((nsamples, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             bspec(1), bspec(1),
@@ -746,8 +784,16 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
         jax.ShapeDtypeStruct((B, 4), jnp.uint32),
         jax.ShapeDtypeStruct((nsamples, B), jnp.float32),
     )
-    kernel = functools.partial(_tf_frame_kernel, nsamples=nsamples,
-                               preemph=cfg.preemph)
+    kernel = functools.partial(
+        _tf_frame_kernel_flat if flat else _tf_frame_kernel,
+        nsamples=nsamples, preemph=cfg.preemph)
+    if flat:
+        dfc_args = (dfc["w"][0][:, _FLAT_PERM], dfc["w"][1][:, _FLAT_PERM],
+                    dfc["b"][:, _FLAT_PERM], dfc["factor"][:, _FLAT_PERM],
+                    logit_tbl, jnp.asarray(_FLAT_LEAF))
+    else:
+        dfc_args = (dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"],
+                    logit_tbl)
     call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
                        out_specs=out_specs, interpret=interpret)
     if grid is not None:
@@ -759,7 +805,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
       tables["tbl_sig"], tables["tbl_pred"], tables["tbl_exc"],
       tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
       tables["wr_b"], tables["br_b"][None, :],
-      dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"], logit_tbl,
+      *dfc_args,
       target.T, preload[:, None].astype(jnp.int32),
       n_active[:, None].astype(jnp.int32),
       state["gru_a"], state["gru_b"], state["last_sig"],

@@ -42,6 +42,7 @@ lpcnet_plc_fec_add / get_fec_or_pred / fec_rewind (lpcnet_plc.c:111-173).
 """
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -118,9 +119,15 @@ class PLCEngine:
                 self.tables, synth_state, cond, self.cfg, target)
         if self.backend == "pallas":
             from .kernels import sample_pallas
+            # LPCNET_KERNEL_VARIANT=flat flattens the sampling tree in the
+            # partially-forced passes too (bit-identical; fuse/opt only
+            # exist for the frame kernel, so anything else maps to base)
+            variant = ("flat" if os.environ.get("LPCNET_KERNEL_VARIANT")
+                       == "flat" else "base")
             return sample_pallas.synth_samples_pallas(
                 self.tables, synth_state, cond, self.cfg, nsamples,
-                target=target, preload=preload, n_active=n_active)
+                target=target, preload=preload, n_active=n_active,
+                variant=variant)
         return sample_scan.synth_samples(
             self.tables, synth_state, cond, self.cfg, nsamples,
             target=target, preload=preload, n_active=n_active)

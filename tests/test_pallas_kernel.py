@@ -89,6 +89,32 @@ class TestPallasKernel:
         np.testing.assert_array_equal(np.asarray(st_v["rng"]),
                                       np.asarray(st_b["rng"]))
 
+    def test_synth_samples_flat_variant_bit_identical(self, setup):
+        """The flat sampling tree in the PLC primitive (partially-forced
+        passes) must be bit-identical to the base walk, RNG included."""
+        voc, conds = setup
+        B = conds["cond_a"].shape[0]
+        cond = {k: conds[k][:, 0] for k in ("cond_a", "cond_b", "lpc")}
+        state = voc.reset(B, per_stream_rng=True)
+        rs = np.random.RandomState(7)
+        target = jnp.asarray(
+            np.round(rs.randn(B, 160) * 2000).astype(np.float32))
+        preload = jnp.asarray(rs.randint(0, 161, B), jnp.int32)
+        n_active = jnp.asarray(rs.randint(0, 161, B), jnp.int32)
+        for kwargs in (dict(), dict(target=target, preload=preload,
+                                    n_active=n_active)):
+            s1, p1 = sample_pallas.synth_samples_pallas(
+                voc.tables, state, cond, CFG, 160, interpret=True,
+                variant="base", **kwargs)
+            s2, p2 = sample_pallas.synth_samples_pallas(
+                voc.tables, state, cond, CFG, 160, interpret=True,
+                variant="flat", **kwargs)
+            np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1))
+            np.testing.assert_array_equal(np.asarray(s2["rng"]),
+                                          np.asarray(s1["rng"]))
+            np.testing.assert_array_equal(np.asarray(s2["last_exc"]),
+                                          np.asarray(s1["last_exc"]))
+
     def test_tile_size_invariant(self, setup, monkeypatch):
         """Batch tiling (LPCNET_PALLAS_TILE) must not change output: the
         same 8-stream batch run as one 8-wide tile vs four 2-wide grid
