@@ -42,6 +42,52 @@ class TestBlobIO:
             with pytest.raises(ValueError):
                 weights_io.read_blob(p)
 
+    def test_mutated_blob_fuzz(self):
+        """Random byte mutations / truncations of a valid blob must either
+        load cleanly or raise ValueError — never crash or hang. This is
+        the untrusted-weights fuzz surface the reference guards with
+        celt_assert bounds checks (parse_lpcnet_weights.c:36-113); both
+        the Python and the native mmap parser see every mutant."""
+        rs = np.random.RandomState(42)
+        arrays = {
+            "layer_w": rs.randn(257).astype(np.float32),
+            "layer_idx": rs.randint(-4, 4, 30).astype(np.int32),
+            "layer_q": rs.randint(-127, 127, 48).astype(np.int8),
+        }
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "w.bin")
+            weights_io.write_blob(p, arrays)
+            blob = bytearray(open(p, "rb").read())
+            m = os.path.join(d, "mut.bin")
+            for trial in range(60):
+                mut = bytearray(blob)
+                kind = trial % 3
+                if kind == 0:      # flip a random byte
+                    i = rs.randint(len(mut))
+                    mut[i] ^= 1 << rs.randint(8)
+                elif kind == 1:    # truncate
+                    mut = mut[:rs.randint(len(mut))]
+                else:              # splice random garbage
+                    i = rs.randint(len(mut))
+                    n = rs.randint(1, 16)
+                    mut[i:i + n] = bytes(rs.randint(0, 256, n, np.uint8))
+                with open(m, "wb") as f:
+                    f.write(mut)
+                # read_blob prefers the native mmap parser; run it again
+                # with the native lib masked to cover the numpy fallback
+                for masked in (False, True):
+                    orig = native.get_lib
+                    if masked:
+                        native.get_lib = lambda: None
+                    try:
+                        out = weights_io.read_blob(m)
+                        for v in out.values():
+                            np.asarray(v).sum()  # force-touch the pages
+                    except (ValueError, KeyError, UnicodeDecodeError):
+                        pass
+                    finally:
+                        native.get_lib = orig
+
     def test_param_checkpoint_roundtrip(self):
         cfg = lm.LPCNetConfig(gru_a_units=32, gru_b_units=16, cond_size=16,
                               embed_sig_size=16, embed_pitch_size=8)
