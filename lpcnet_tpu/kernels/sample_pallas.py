@@ -57,12 +57,15 @@ baseline for all numbers: variant="base", tile 256, B=1024 -> ~2730x RT,
     (parallel/mesh.py), which is collective-free.
   * variant="flat" (round 3): the threshold lookups + tree walk are
     ~16 chain-serialized (B,256)-wide mask/reduce groups per sample — a
-    large slice of the ~6 us serialized chain. The flat form batches the
-    8 threshold lookups into one (B,8,256) reduce and scores all 256
-    leaves with narrow per-level compares + a doubling score build (total
-    work ~ one (B,256) op), ending in a single weighted reduce. Same
-    strict comparisons, bit-identical (test_pallas_kernel). Measured on
-    v5e: see the kernel-variant table in PERF.md.
+    large slice of the ~6 us serialized chain. The flat form moves the 8
+    threshold lookups off the chain (RNG-only) and scores all 256 leaves
+    with one compare + ONE (B,256)x(256,256) MXU matmul against a static
+    +-1 path matrix + one match-reduce (~3 on-chain groups for the whole
+    sampler). Same strict comparisons, bit-identical (test_pallas_kernel).
+    A first flat attempt ((B,8,256) one-hot + concat-doubling score build)
+    overflowed Mosaic's 16 MB scoped VMEM even at tile 128; the matmul
+    scorer's live set is 3 (B,256) temporaries + a 256 KB static table.
+    Measured on v5e: see the kernel-variant table in PERF.md.
 """
 import functools
 import os
@@ -79,29 +82,47 @@ from ..ops.tables import SAMPLING_LOGIT_TABLE
 
 _LOG256 = np.float32(5.5451774445)
 
-
-def _bitrev(x: int, bits: int) -> int:
-    r = 0
-    for _ in range(bits):
-        r = (r << 1) | (x & 1)
-        x >>= 1
-    return r
+# Mosaic's default scoped-VMEM guardrail is 16 MB; the teacher-forcing
+# kernel's live set at tile 256 with the flat sampling tree sits right at
+# that edge (16.09 MB). v5e has 128 MB of VMEM — raise the per-kernel
+# limit so the compiler stops rejecting layouts that fit the hardware.
+_VMEM_LIMIT_MB = int(os.environ.get("LPCNET_PALLAS_VMEM_MB", "64"))
 
 
-# variant="flat" static tables. The 8-bit tree walk (nnet.c:186-211) visits
-# heap node 2^b + p at level b, where p is the b-bit prefix already decided.
-# The flattened evaluation instead scores ALL 256 leaves at once and builds
-# the score by doubling a (B, 2^b) array; doubling appends the new
-# hypothesis bit in the HIGH position, so leaf r is the BIT-REVERSED value.
-# _FLAT_PERM permutes the dual-FC columns so each level's slice
-# logits[:, 2^b:2^{b+1}] arrives already in that reversed order, and
-# _FLAT_LEAF maps the winning column back to the sampled byte.
-_FLAT_PERM = np.arange(256, dtype=np.int64)
-for _b in range(8):
-    for _p in range(1 << _b):
-        _FLAT_PERM[(1 << _b) + _bitrev(_p, _b)] = (1 << _b) + _p
-_FLAT_LEAF = np.array([_bitrev(_r, 8) for _r in range(256)],
-                      np.float32)[None, :]
+def _compiler_params():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT_MB * 1024 * 1024)
+
+
+# variant="flat" static tables (matmul tree scorer). The 8-bit tree walk
+# (nnet.c:186-211) visits heap node n_b(c) = 2^b + (c >> (8-b)) at level b
+# and takes bit r_b(c) = (c >> (7-b)) & 1 on the path to leaf byte c.
+# Scoring a candidate c = counting the levels whose threshold comparison
+# cmp[n] = (thr_level(n) < logits[n]) agrees with r_b(c); exactly the
+# walked leaf agrees on all 8. With cmp in {0,1}^(B,256) over all heap
+# nodes (column 0 unused),
+#     score(c) = cmp @ D[:, c] + (8 - popcount(c)),
+#     D[n, c]  = sum_b [n == n_b(c)] * (2*r_b(c) - 1)  in {-1, 0, +1},
+# i.e. ONE (B,256)x(256,256) MXU matmul whose operands are small exact
+# integers (bit-exact under any MXU precision mode), then match
+# cmp @ D == popcount(c). This replaces the walk's 8 chain-serialized
+# mask/reduce/compare groups with compare -> matmul -> match (~3 groups).
+_FLAT_SCORE_W = np.zeros((256, 256), np.float32)
+_FLAT_TARGET_LEAF = np.zeros((2, 256), np.float32)
+for _c in range(256):
+    for _b in range(8):
+        _n = (1 << _b) + (_c >> (8 - _b))
+        _r = (_c >> (7 - _b)) & 1
+        _FLAT_SCORE_W[_n, _c] = 2.0 * _r - 1.0
+        _FLAT_TARGET_LEAF[0, _c] += _r
+    _FLAT_TARGET_LEAF[1, _c] = _c
+# level-of-node masks: _FLAT_LVL[b, n] = 1 iff floor(log2(n)) == b (node 0
+# is unused and assigned level 0); spreads the 8 per-sample thresholds
+# across their node columns with exact {0,1} multiplies, off the chain.
+_FLAT_LVL = np.zeros((8, 256), np.float32)
+_FLAT_LVL[0, 0] = 1.0
+for _n in range(1, 256):
+    _FLAT_LVL[_n.bit_length() - 1, _n] = 1.0
 
 
 def _lin2ulaw(x):
@@ -174,16 +195,19 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
 
     flat_tree: evaluate the 8-bit sampling tree FLAT instead of walking it.
     The walk is 8 chain-serialized (threshold lookup, masked 256-wide
-    reduce, compare) groups per sample; the flat form does one batched
-    (B,8,256) threshold lookup, 8 narrow per-level compares, a doubling
-    score build (2+4+...+256 columns total, about one (B,256) op of work),
-    and a single weighted reduce to read off the unique all-levels-match
-    leaf. Bit-identical by construction: the same strict thr<logit
-    comparisons decide every bit. Requires the dual-FC weights permuted by
-    _FLAT_PERM and leaf_tbl=_FLAT_LEAF appended to `weights`."""
+    reduce, compare) groups per sample; the flat form compares every heap
+    node against its level's threshold at once, scores all 256 leaves with
+    ONE (B,256)x(256,256) matmul against the static path matrix
+    _FLAT_SCORE_W (see its comment), and reads off the unique
+    popcount-matching leaf. The threshold spreading is RNG-only and off
+    the chain, so the chain keeps just compare -> matmul -> match.
+    Bit-identical by construction: the same strict thr<logit comparisons
+    decide every bit, and all matmul operands are small exact integers.
+    Requires (score_w, lvl_tbl, tgt_leaf) appended to `weights`."""
     if flat_tree:
         (tbl_sig, tbl_pred, tbl_exc, wr_a, br_a, wi_b, wr_b, br_b,
-         dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl, leaf_tbl) = weights
+         dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl,
+         score_w, lvl_tbl, tgt_leaf) = weights
     else:
         (tbl_sig, tbl_pred, tbl_exc, wr_a, br_a, wi_b, wr_b, br_b,
          dfc_w1, dfc_w2, dfc_b, dfc_f, logit_tbl) = weights
@@ -227,25 +251,26 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
         rng_n, r1 = _kiss99(rng)
         rng_n, r2 = _kiss99(rng_n)
         if flat_tree:
-            # one batched (B,8,256) lookup replaces 8 serialized ones
-            bytes8 = jnp.stack(
-                [((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
-                 for r in (r1, r2) for k in range(4)], axis=1)
-            iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 256), 2)
-            oh3 = (bytes8[:, :, None] == iota3).astype(jnp.float32)
-            thrs8 = jnp.sum(oh3 * logit_tbl[:, None, :], axis=2)
-            # flat tree: score every leaf, read off the unique match
-            score = None
-            for b in range(8):
-                sl = logits[:, (1 << b):(2 << b)]
-                bits = (thrs8[:, b:b + 1] < sl).astype(jnp.float32)
-                if score is None:
-                    score = jnp.concatenate([1.0 - bits, bits], axis=1)
-                else:
-                    score = jnp.concatenate(
-                        [score + (1.0 - bits), score + bits], axis=1)
-            exc = jnp.sum(jnp.where(score == 8.0, leaf_tbl, 0.0),
-                          axis=1).astype(jnp.int32)
+            # thresholds: 8 one-hot lookups spread across their heap-node
+            # columns (exact {0,1} multiplies) — all off the serialized
+            # chain (they depend only on the RNG, not on logits)
+            thr_cols = jnp.zeros_like(logits)
+            b = 0
+            for r in (r1, r2):
+                for k in range(4):
+                    byt = ((r >> (8 * k))
+                           & jnp.uint32(0xFF)).astype(jnp.int32)
+                    t = jnp.sum(_onehot(byt, 256) * logit_tbl, axis=1)
+                    thr_cols = thr_cols + t[:, None] * lvl_tbl[b:b + 1, :]
+                    b += 1
+            # on-chain: compare every heap node, one MXU matmul scores all
+            # 256 leaves, the walked leaf is the unique popcount match
+            cmp = (thr_cols < logits).astype(jnp.float32)
+            dots = jnp.dot(cmp, score_w,
+                           preferred_element_type=jnp.float32)
+            exc = jnp.sum(
+                jnp.where(dots == tgt_leaf[0:1, :], tgt_leaf[1:2, :], 0.0),
+                axis=1).astype(jnp.int32)
         else:
             thrs = []
             for r in (r1, r2):
@@ -433,17 +458,17 @@ def _frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
                        tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                        wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
                        dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
-                       logit_tbl_ref, leaf_tbl_ref,
+                       logit_tbl_ref, score_w_ref, lvl_ref, tgt_leaf_ref,
                        gru_a_in, gru_b_in, sig_in, exc_in, deemph_in,
                        rng_in, gru_a_out, gru_b_out, sig_out, exc_out,
                        deemph_out, rng_out, pcm_ref, *, nsamples: int,
                        preemph: float, wdtype=jnp.float32):
-    """_frame_kernel with the flat (non-walked) sampling tree; the dual-FC
-    weight columns must arrive permuted by _FLAT_PERM."""
+    """_frame_kernel with the flat (matmul-scored) sampling tree."""
     weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                             wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
                             br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
-                            dfc_f_ref, logit_tbl_ref) + (leaf_tbl_ref[:],)
+                            dfc_f_ref, logit_tbl_ref) + (
+                                score_w_ref[:], lvl_ref[:], tgt_leaf_ref[:])
     init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
             deemph_in[:, 0], rng_in[:])
 
@@ -527,18 +552,18 @@ def _tf_frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
                           tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                           wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
                           dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
-                          logit_tbl_ref, leaf_tbl_ref, tgt_ref, pre_ref,
-                          act_ref,
+                          logit_tbl_ref, score_w_ref, lvl_ref, tgt_leaf_ref,
+                          tgt_ref, pre_ref, act_ref,
                           gru_a_in, gru_b_in, sig_in, exc_in, deemph_in,
                           rng_in, gru_a_out, gru_b_out, sig_out, exc_out,
                           deemph_out, rng_out, pcm_ref, *, nsamples: int,
                           preemph: float, wdtype=jnp.float32):
-    """_tf_frame_kernel with the flat sampling tree (dual-FC columns
-    permuted by _FLAT_PERM)."""
+    """_tf_frame_kernel with the flat (matmul-scored) sampling tree."""
     weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                             wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
                             br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
-                            dfc_f_ref, logit_tbl_ref) + (leaf_tbl_ref[:],)
+                            dfc_f_ref, logit_tbl_ref) + (
+                                score_w_ref[:], lvl_ref[:], tgt_leaf_ref[:])
     init = (gru_a_in[:], gru_b_in[:], sig_in[:], exc_in[:, 0],
             deemph_in[:, 0], rng_in[:])
 
@@ -665,7 +690,8 @@ def teacher_advance_pallas(tables: Dict[str, Any],
     kernel = functools.partial(_teacher_kernel, nsamples=ns,
                                wdtype=jnp.float32)
     call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
-                       out_specs=out_specs, interpret=interpret)
+                       out_specs=out_specs, interpret=interpret,
+                       compiler_params=_compiler_params())
     if grid is not None:
         call_kwargs["grid"] = grid
     gru_a, gru_b = pl.pallas_call(kernel, **call_kwargs)(
@@ -741,7 +767,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     bt = min(B, MAX_BATCH_TILE)
     if B == bt:
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        in_specs = [full] * (26 if flat else 25)
+        in_specs = [full] * (28 if flat else 25)
         out_specs = tuple([full] * 7)
         grid = None
     else:
@@ -762,7 +788,8 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
             wspec((nb, 3 * nb)), wspec((1, 3 * nb)),
             wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
             wspec((2, 256)), wspec((1, 256)),
-        ] + ([wspec((1, 256))] if flat else []) + [
+        ] + ([wspec((256, 256)), wspec((8, 256)), wspec((2, 256))]
+             if flat else []) + [
             pl.BlockSpec((nsamples, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             bspec(1), bspec(1),
@@ -788,14 +815,15 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
         _tf_frame_kernel_flat if flat else _tf_frame_kernel,
         nsamples=nsamples, preemph=cfg.preemph)
     if flat:
-        dfc_args = (dfc["w"][0][:, _FLAT_PERM], dfc["w"][1][:, _FLAT_PERM],
-                    dfc["b"][:, _FLAT_PERM], dfc["factor"][:, _FLAT_PERM],
-                    logit_tbl, jnp.asarray(_FLAT_LEAF))
+        dfc_args = (dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"],
+                    logit_tbl, jnp.asarray(_FLAT_SCORE_W),
+                    jnp.asarray(_FLAT_LVL), jnp.asarray(_FLAT_TARGET_LEAF))
     else:
         dfc_args = (dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"],
                     logit_tbl)
     call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
-                       out_specs=out_specs, interpret=interpret)
+                       out_specs=out_specs, interpret=interpret,
+                       compiler_params=_compiler_params())
     if grid is not None:
         call_kwargs["grid"] = grid
     outs = pl.pallas_call(
@@ -850,7 +878,7 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
 
     bt = min(B, MAX_BATCH_TILE)
     assert B % bt == 0, f"batch {B} must be a multiple of {bt}"
-    n_weights = 10 if opt else (14 if flat else 13)
+    n_weights = 10 if opt else (16 if flat else 13)
     if B == bt:
         # single tile: full-array blocks, no grid pipeline copies (fastest)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -892,7 +920,8 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
                 wspec((2, 256)), wspec((1, 256)),
             ]
             if flat:
-                weight_specs.append(wspec((1, 256)))
+                weight_specs += [wspec((256, 256)), wspec((8, 256)),
+                                 wspec((2, 256))]
         in_specs = (
             [bspec(3 * na), bspec(3 * nb), bspec(LPC_ORDER)]
             + weight_specs
@@ -930,25 +959,20 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
         kfn = _frame_kernel_flat if flat else _frame_kernel
         kernel = functools.partial(kfn, nsamples=fs,
                                    preemph=cfg.preemph, wdtype=table_dtype)
-        if flat:
-            # permute the dual-FC columns into the flat tree's level-slice
-            # order (tiny loop-invariant gathers, CSE'd across frame calls;
-            # _FLAT_PERM stays a numpy index so numpy-held tables work too)
-            dfc_args = (dfc["w"][0][:, _FLAT_PERM], dfc["w"][1][:, _FLAT_PERM],
-                        dfc["b"][:, _FLAT_PERM], dfc["factor"][:, _FLAT_PERM])
-        else:
-            dfc_args = (dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"])
         weight_args = (
             tables["tbl_sig"].astype(table_dtype),
             tables["tbl_pred"].astype(table_dtype),
             tables["tbl_exc"].astype(table_dtype),
             tables["wr_a"], tables["br_a"][None, :], tables["wi_b"],
             tables["wr_b"], tables["br_b"][None, :],
-            *dfc_args, logit_tbl)
+            dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"], logit_tbl)
         if flat:
-            weight_args = weight_args + (jnp.asarray(_FLAT_LEAF),)
+            weight_args = weight_args + (
+                jnp.asarray(_FLAT_SCORE_W), jnp.asarray(_FLAT_LVL),
+                jnp.asarray(_FLAT_TARGET_LEAF))
     call_kwargs = dict(out_shape=out_shapes, in_specs=in_specs,
-                       out_specs=out_specs, interpret=interpret)
+                       out_specs=out_specs, interpret=interpret,
+                       compiler_params=_compiler_params())
     if grid is not None:
         call_kwargs["grid"] = grid
     outs = pl.pallas_call(

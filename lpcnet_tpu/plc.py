@@ -119,11 +119,12 @@ class PLCEngine:
                 self.tables, synth_state, cond, self.cfg, target)
         if self.backend == "pallas":
             from .kernels import sample_pallas
-            # LPCNET_KERNEL_VARIANT=flat flattens the sampling tree in the
+            # the flat (matmul-scored) sampling tree is the default in the
             # partially-forced passes too (bit-identical; fuse/opt only
             # exist for the frame kernel, so anything else maps to base)
-            variant = ("flat" if os.environ.get("LPCNET_KERNEL_VARIANT")
-                       == "flat" else "base")
+            variant = ("flat" if os.environ.get("LPCNET_KERNEL_VARIANT",
+                                                "flat") == "flat"
+                       else "base")
             return sample_pallas.synth_samples_pallas(
                 self.tables, synth_state, cond, self.cfg, nsamples,
                 target=target, preload=preload, n_active=n_active,

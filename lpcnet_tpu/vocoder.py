@@ -43,10 +43,12 @@ class Synthesizer:
         # measured tradeoffs): LPCNET_KERNEL_VARIANT=base|fuse|opt|flat,
         # LPCNET_KERNEL_TABLES=f32|bf16 (bf16 embedding tables: 4x MXU rate
         # for the one-hot gathers). All variants are bit-identical except
-        # bf16 tables (reduced-precision embeddings).
+        # bf16 tables (reduced-precision embeddings). Default "flat"
+        # (matmul-scored sampling tree): measured +2-4% over the walked
+        # tree on v5e (PERF.md kernel-variant table).
         import os
         self.kernel_variant = os.environ.get("LPCNET_KERNEL_VARIANT",
-                                             "base")
+                                             "flat")
         self.table_dtype = (jnp.bfloat16
                             if os.environ.get("LPCNET_KERNEL_TABLES")
                             == "bf16" else jnp.float32)
