@@ -229,7 +229,16 @@ def prepare_training_data_batch(pcm: np.ndarray, seeds,
     # (slow-speed) passes keep a seeded random window, not always their
     # head, so the source tail is still seen across the corpus; report
     # batch utilization so the cap is never silent.
-    T = min(len(x) for x in xs) // FRAME_SIZE // 4 * 4
+    if speed_aug:
+        # STATIC batch length = the worst-case (speed 1.4) pass length,
+        # not this batch's minimum: a per-batch T changes every jitted
+        # shape, and corpus building becomes XLA-recompile-bound
+        # (measured: 99.5 of 111 s per 50-pass batch was compilation).
+        # uniform(0.7, 1.4) < 1.4, so every resampled pass has
+        # len >= int(len(pcm)/1.4) and the fixed window always fits.
+        T = int(len(pcm) / 1.4) // FRAME_SIZE // 4 * 4
+    else:
+        T = min(len(x) for x in xs) // FRAME_SIZE // 4 * 4
     S = T * FRAME_SIZE
     offs = [np.random.RandomState(seed ^ 0x0FF5E7)
             .randint(0, (len(x) - S) // FRAME_SIZE + 1) * FRAME_SIZE
