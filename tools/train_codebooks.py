@@ -122,6 +122,10 @@ def codec_rms(pcm: np.ndarray, cbs) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=500)
+    ap.add_argument("--features", default=None,
+                    help="prebuilt 36-dim feature corpus (.f32, e.g. from "
+                         "dump-data train) to train on instead of building "
+                         "--passes augmentation passes here")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--final-iters", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
@@ -137,8 +141,12 @@ def main():
     pcm = np.fromfile(GOLDEN, np.int16).astype(np.float32)
 
     t0 = time.time()
-    print(f"building corpus: {args.passes} augmentation passes ...")
-    train_feats = build_corpus(pcm, args.passes, seed0=args.seed)
+    if args.features:
+        train_feats = np.fromfile(args.features, np.float32).reshape(-1, 36)
+        print(f"loaded corpus: {args.features} ({len(train_feats)} frames)")
+    else:
+        print(f"building corpus: {args.passes} augmentation passes ...")
+        train_feats = build_corpus(pcm, args.passes, seed0=args.seed)
     # held-out: clean (unaugmented) pass + 8 unseen augmentation seeds
     held = build_corpus(pcm, 8, seed0=args.seed + 100003)
     print(f"corpus: train {train_feats.shape}, held-out {held.shape} "
@@ -152,7 +160,8 @@ def main():
     cbs = {k: np.asarray(v) for k, v in cbs.items()}
     print(f"trained in {time.time() - t0:.0f}s")
 
-    report = {"passes": args.passes, "train_frames": int(len(train_feats)),
+    report = {"passes": (args.features or args.passes),
+              "train_frames": int(len(train_feats)),
               "held_frames": int(len(held))}
     report.update({f"held_{k}": v for k, v in stage_rms(held, cbs).items()})
     report["held_codec_rms"] = codec_rms(pcm, cbs)
