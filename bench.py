@@ -6,11 +6,12 @@ across all concurrent streams. The reference C runs ~1x real time on a
 CPU core (README.md:33, ~3 GFLOPS); BASELINE.md's driver target is >=300x
 per chip.
 
-Per-stage benchmarks (LPCNET_BENCH_STAGES=all, one JSON line per stage,
-before the headline): features, encode, decode, plc_step, dred_encode,
-dred_decode, train_step — each reported as a real-time factor (audio
-seconds processed per second) or steps/s for training, plus an MFU
-estimate for the synthesis sample kernel.
+Per-stage benchmarks (printed by default, one JSON line per stage,
+before the headline; LPCNET_BENCH_STAGES=none skips them): features,
+encode, decode, plc_step, dred_encode, dred_decode, train_step — each
+reported as a real-time factor (audio seconds processed per second) or
+steps/s for training, plus an MFU estimate for the synthesis sample
+kernel.
 
 Env overrides: LPCNET_BENCH_BATCH (streams), LPCNET_BENCH_FRAMES (per
 call), LPCNET_BENCH_ITERS, LPCNET_BENCH_DEVICES=all (shard streams across
@@ -283,7 +284,10 @@ def sample_kernel_mfu(rt_factor):
 
 
 def main():
-    stages = os.environ.get("LPCNET_BENCH_STAGES", "")
+    # Per-stage lines print by default so every recorded bench run is
+    # self-evidencing (set LPCNET_BENCH_STAGES=none to skip them; they cost
+    # seconds). The synthesis headline stays the LAST line for the parser.
+    stages = os.environ.get("LPCNET_BENCH_STAGES", "all") != "none"
     if stages:
         for r in ([bench_features()] + bench_codec() + [bench_plc()]
                   + bench_dred() + [bench_train()]):

@@ -84,9 +84,10 @@ _LOG256 = np.float32(5.5451774445)
 
 # Mosaic's default scoped-VMEM guardrail is 16 MB; the teacher-forcing
 # kernel's live set at tile 256 with the flat sampling tree sits right at
-# that edge (16.09 MB). v5e has 128 MB of VMEM — raise the per-kernel
-# limit so the compiler stops rejecting layouts that fit the hardware.
-_VMEM_LIMIT_MB = int(os.environ.get("LPCNET_PALLAS_VMEM_MB", "64"))
+# that edge (16.09 MB), and the round-4 batch tile of 512 needs ~2x that
+# again. v5e has 128 MB of VMEM — raise the per-kernel limit so the
+# compiler stops rejecting layouts that fit the hardware.
+_VMEM_LIMIT_MB = int(os.environ.get("LPCNET_PALLAS_VMEM_MB", "100"))
 
 
 def _compiler_params():
@@ -845,11 +846,15 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     return new_state, pcm.T
 
 
-# VMEM budget: weights ~5.5 MB + per-tile activations. 512 overflows VMEM
-# (see header); tiles serialize with near-fixed latency, so a larger tile
-# that still fits raises throughput — override for experiments via
-# LPCNET_PALLAS_TILE (must be a multiple of 8).
-MAX_BATCH_TILE = int(os.environ.get("LPCNET_PALLAS_TILE", "256"))
+# VMEM budget: weights ~5.5 MB + per-tile activations. Tiles serialize at
+# near-fixed latency, so the largest tile that compiles sets RT/chip.
+# Round-4 sweep on v5e (B=1024, flat variant, under the raised VMEM
+# limit): tile 256 -> 2609x, 384 -> 2462x (1024 pads to 1152), 512 ->
+# 2839x (best; 2884x at B=2048), 1024 single-launch -> 2792x. 512 is the
+# default; override for experiments via LPCNET_PALLAS_TILE (multiple of 8;
+# tile 512 was a VMEM-overflow compile failure under Mosaic's default
+# 16 MB scoped-VMEM guardrail — see _VMEM_LIMIT_MB above).
+MAX_BATCH_TILE = int(os.environ.get("LPCNET_PALLAS_TILE", "512"))
 
 
 def synthesize_frame_pallas(tables: Dict[str, Any],
