@@ -119,11 +119,20 @@ def load_lpcnet_model(path: Optional[str], default_cfg=None,
 def load_dred_model(path: Optional[str]):
     """RDO-VAE params + config; omitted path resolves to the shipped DRED
     checkpoint (the reference's download_model.sh covers DRED weights too).
-    The cond geometry is inferred from stored kernel shapes so cond-256
-    (deployable, torch trainer default) and cond-1024 (TF trainer default)
-    blobs both load without flags."""
+    .pth/.pt files are reference torch trainer checkpoints
+    (torch/rdovae/train_rdovae.py:179-215) and a directory is a wexchange
+    numpy export (export_rdovae_weights.py:258-293) — both import via
+    utils/import_torch. For our own blobs the cond geometry is inferred
+    from stored kernel shapes so cond-256 (deployable, torch trainer
+    default) and cond-1024 (TF trainer default) load without flags."""
     from .models import rdovae as rv
     path = _default_weights(path, DEFAULT_DRED, "DRED RDO-VAE")
+    if path and (path.endswith(".pth") or path.endswith(".pt")):
+        from .utils import import_torch
+        return import_torch.import_rdovae_torch(path)
+    if path and os.path.isdir(path):
+        from .utils import import_torch
+        return import_torch.import_rdovae_numpy_dir(path)
     params = load_model_params(path, rv.init_params, rng_seed=2)
     enc = params["enc"]
     cfg = rv.RDOVAEConfig(
