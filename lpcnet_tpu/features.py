@@ -118,7 +118,7 @@ def lpc_residual(aligned: jax.Array, lpc: jax.Array, hist: jax.Array,
     s_prev = jnp.concatenate([pitch_filt[:, None], s_flat[:, :-1]], axis=-1)
     exc = s_flat + 0.7 * s_prev
     new_hist = flat[:, -LPC_ORDER:][:, ::-1]
-    return exc.reshape(B, T, fs), new_hist, s_flat[:, -1]
+    return exc.reshape(B, T, fs), new_hist, s_flat
 
 
 def pitch_xcorr(exc_stream: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -231,15 +231,16 @@ def viterbi_scan(state: Dict[str, jax.Array], xc: jax.Array, fw: jax.Array):
         new_path = new_path - mall[:, None]
         # xcs is persisted: the C applies the halving penalty in place and
         # the backward pass reads the penalized values (lpcnet_enc.c:641)
-        return (new_path, mall, best), (bp.astype(jnp.int32), best, xcs)
+        return (new_path, mall, best), (bp.astype(jnp.int32), best, xcs,
+                                        new_path, mall)
 
     carry = (state["path"], state["path_all"], state["best_i"])
-    (path, path_all, best_i), (bps, bests, xcp) = jax.lax.scan(
+    (path, path_all, best_i), (bps, bests, xcp, paths, malls) = jax.lax.scan(
         step, carry, (xc.transpose(1, 0, 2), fw.transpose(1, 0)))
     new_state = dict(state)
     new_state.update(path=path, path_all=path_all, best_i=best_i)
     return (new_state, bps.transpose(1, 0, 2), bests.transpose(1, 0),
-            xcp.transpose(1, 0, 2))
+            xcp.transpose(1, 0, 2), paths, malls)
 
 
 def _superframe_pitch(bps, bests, xc, fw, quantize: bool):
@@ -316,15 +317,18 @@ def _single_frame_pitch(bps, bests, xcp, fw):
     (process_single_frame, lpcnet_enc.c:814-870).
 
     bps: (B, 2, 224), bests: (B, 2), xcp: (B, 2, 256), fw: (B, 2).
-    Returns (B, 2) [pitch_feat, corr_feat]."""
+    Returns (B, 2) [pitch_feat, corr_feat]. The per-subframe index reads
+    are one-hot reduces (VPU), not take_along_axis (scalar-core gather)."""
     bi = bests[:, 1]
     best = [None, None]
     corr = jnp.zeros(bi.shape, jnp.float32)
     for sub in (1, 0):
         best[sub] = (PITCH_MAX_PERIOD - bi).astype(jnp.float32)
-        corr = corr + fw[:, sub] * jnp.take_along_axis(
-            xcp[:, sub], bi[:, None], axis=-1)[:, 0]
-        bi = jnp.take_along_axis(bps[:, sub], bi[:, None], axis=-1)[:, 0]
+        oh_xc = jnp.arange(xcp.shape[-1])[None, :] == bi[:, None]
+        corr = corr + fw[:, sub] * jnp.sum(
+            jnp.where(oh_xc, xcp[:, sub], 0.0), axis=-1)
+        oh_bp = jnp.arange(bps.shape[-1])[None, :] == bi[:, None]
+        bi = jnp.sum(jnp.where(oh_bp, bps[:, sub], 0), axis=-1)
     frame_corr = corr / 2.0
     pairsum = best[0] + best[1]
     f18 = 0.01 * (jnp.clip(pairsum, 66, 510) - 200.0)
@@ -332,7 +336,8 @@ def _single_frame_pitch(bps, bests, xcp, fw):
 
 
 def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
-                     quantize_pitch: bool = False, mode: str = "superframe"):
+                     quantize_pitch: bool = False, mode: str = "superframe",
+                     return_mid: bool = False):
     """Extract features for T frames, batched over streams.
 
     pcm: (B, T*160) int16-range float. Returns (new_state, features
@@ -342,11 +347,21 @@ def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
     regression, equivalent to lpcnet_compute_features (lpcnet_enc.c:895-909).
     mode="single": per-frame 2-subframe pitch (process_single_frame,
     lpcnet_enc.c:814-870) — the streaming variant used by the PLC.
+
+    return_mid (mode="single", T >= 2): additionally return the extractor
+    state as it stands after the FIRST frame only — (new_state, feats,
+    aux, mid_state). A T-frame call is exactly equivalent to T serial
+    1-frame calls (every stage is either framewise or a scan over
+    subframes), so mid_state equals the state a 1-frame call would have
+    produced; the fused PLC step uses this to advance on the previous
+    output and analyze the current input in ONE pass.
     """
     B, S = pcm.shape
     T = S // FRAME_SIZE
     if mode == "superframe":
         assert T % 4 == 0, "chunk must be whole superframes (4 frames)"
+    if return_mid:
+        assert mode == "single" and T >= 2
 
     # 1. pre-emphasis
     xp, new_mem = _preemph(pcm, state["mem_preemph"])
@@ -361,8 +376,9 @@ def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
     aligned_full = full[:, OVERLAP_SIZE - TRAINING_OFFSET:
                         OVERLAP_SIZE - TRAINING_OFFSET + S]
     aligned = aligned_full.reshape(B, T, FRAME_SIZE)
-    exc, new_hist, new_filt = lpc_residual(
+    exc, new_hist, s_flat = lpc_residual(
         aligned, lpc, state["aligned_hist"], state["pitch_filt"])
+    new_filt = s_flat[:, -1]
 
     # 5. pitch correlation
     exc_stream = jnp.concatenate(
@@ -382,7 +398,7 @@ def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
     new_state.update(analysis_mem=xp[:, -OVERLAP_SIZE:], mem_preemph=new_mem,
                      aligned_hist=new_hist, pitch_filt=new_filt,
                      exc_hist=exc_stream[:, -PITCH_MAX_PERIOD:])
-    vstate, bps, bests, xcp = viterbi_scan(new_state, xc, fw)
+    vstate, bps, bests, xcp, vpaths, vmalls = viterbi_scan(new_state, xc, fw)
     new_state.update(path=vstate["path"], path_all=vstate["path_all"],
                      best_i=vstate["best_i"])
 
@@ -409,6 +425,24 @@ def compute_features(state: Dict[str, jax.Array], pcm: jax.Array,
         feats = feats.at[..., NB_BANDS:NB_BANDS + 2].set(
             jnp.stack(pfs, axis=1))
     new_state["vq_mem"] = feats[:, T - 1, :NB_BANDS]
+    if return_mid:
+        # state after the FIRST frame: every component is a prefix slice
+        # of the streaming tensors; the Viterbi carry is the scan's state
+        # after subframe 1 (subframes are 2 per frame in single mode)
+        fs = FRAME_SIZE
+        mid_state = dict(state)
+        mid_state.update(
+            analysis_mem=jnp.concatenate(
+                [state["analysis_mem"], xp[:, :fs]],
+                axis=-1)[:, -OVERLAP_SIZE:],
+            mem_preemph=-PREEMPHASIS * pcm[:, fs - 1],
+            aligned_hist=aligned_full[:, fs - LPC_ORDER:fs][:, ::-1],
+            pitch_filt=s_flat[:, fs - 1],
+            exc_hist=exc_stream[:, fs:fs + PITCH_MAX_PERIOD],
+            path=vpaths[1], path_all=vmalls[1],
+            best_i=bests[:, 1],
+            vq_mem=feats[:, 0, :NB_BANDS])
+        return new_state, feats, sps, mid_state
     return new_state, feats, sps
 
 

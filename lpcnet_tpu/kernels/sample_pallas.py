@@ -181,7 +181,7 @@ def _sigmoid(x):
 def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
                 nsamples: int, preemph: float, wdtype,
                 read_target=None, preload=None, n_active=None,
-                flat_tree: bool = False):
+                force_from=None, flat_tree: bool = False):
     """The shared per-frame sample loop: `nsamples` AR steps under one
     condition set, writing rounded samples via write_pcm(i, out). `carry` is
     (gru_a, gru_b, last_sig, last_exc, deemph, rng); returns the final
@@ -189,10 +189,13 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
 
     Teacher forcing (the C 'preload' mode, lpcnet.c:256-261):
     read_target(i) -> (B,) target samples; steps i < preload[b] follow the
-    target instead of the sampled excitation. n_active: (B,) — steps
-    i >= n_active[b] freeze that stream's state and emit 0 (the batched
-    form of the C's variable-length synthesize calls). The RNG advances
-    on active steps exactly as in sampling-only mode.
+    target instead of the sampled excitation. force_from: optional (B,) —
+    steps i >= force_from[b] ALSO follow the target (the tail-forcing form
+    the fused PLC step uses: good streams force the whole frame, blend
+    streams only the second half, lost streams never). n_active: (B,) —
+    steps i >= n_active[b] freeze that stream's state and emit 0 (the
+    batched form of the C's variable-length synthesize calls). The RNG
+    advances on active steps exactly as in sampling-only mode.
 
     flat_tree: evaluate the 8-bit sampling tree FLAT instead of walking it.
     The walk is 8 chain-serialized (threshold lookup, masked 256-wide
@@ -291,6 +294,8 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
             tf_sig = tgt - preemph * deemph
             tf_exc = _lin2ulaw(tf_sig - pred)
             tmask = i < preload
+            if force_from is not None:
+                tmask = tmask | (i >= force_from)
             exc = jnp.where(tmask, tf_exc, exc)
             pcm = jnp.where(tmask, tf_sig, pred + _ulaw2lin(exc))
         else:
@@ -519,13 +524,13 @@ def _tf_frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
                      tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                      wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
                      dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
-                     logit_tbl_ref, tgt_ref, pre_ref, act_ref,
+                     logit_tbl_ref, tgt_ref, pre_ref, act_ref, ff_ref,
                      gru_a_in, gru_b_in, sig_in, exc_in, deemph_in, rng_in,
                      gru_a_out, gru_b_out, sig_out, exc_out, deemph_out,
                      rng_out, pcm_ref, *, nsamples: int, preemph: float,
                      wdtype=jnp.float32):
     """Teacher-forcing variant of _frame_kernel: target (nsamples, B) +
-    per-stream preload and active counts."""
+    per-stream preload, active counts, and tail-forcing starts."""
     weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                             wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
                             br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
@@ -540,7 +545,8 @@ def _tf_frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
         weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
         nsamples, preemph, wdtype,
         read_target=lambda i: tgt_ref[i, :],
-        preload=pre_ref[:, 0], n_active=act_ref[:, 0])
+        preload=pre_ref[:, 0], n_active=act_ref[:, 0],
+        force_from=ff_ref[:, 0])
     gru_a_out[:] = gru_a
     gru_b_out[:] = gru_b
     sig_out[:] = last_sig
@@ -554,7 +560,7 @@ def _tf_frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
                           wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref, br_b_ref,
                           dfc_w1_ref, dfc_w2_ref, dfc_b_ref, dfc_f_ref,
                           logit_tbl_ref, score_w_ref, lvl_ref, tgt_leaf_ref,
-                          tgt_ref, pre_ref, act_ref,
+                          tgt_ref, pre_ref, act_ref, ff_ref,
                           gru_a_in, gru_b_in, sig_in, exc_in, deemph_in,
                           rng_in, gru_a_out, gru_b_out, sig_out, exc_out,
                           deemph_out, rng_out, pcm_ref, *, nsamples: int,
@@ -575,7 +581,8 @@ def _tf_frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
         weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
         nsamples, preemph, wdtype,
         read_target=lambda i: tgt_ref[i, :],
-        preload=pre_ref[:, 0], n_active=act_ref[:, 0], flat_tree=True)
+        preload=pre_ref[:, 0], n_active=act_ref[:, 0],
+        force_from=ff_ref[:, 0], flat_tree=True)
     gru_a_out[:] = gru_a
     gru_b_out[:] = gru_b
     sig_out[:] = last_sig
@@ -723,6 +730,7 @@ def _host_kiss99(rng):
 def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
                          cond: Dict[str, jax.Array], cfg, nsamples: int,
                          target=None, preload=None, n_active=None,
+                         force_from=None,
                          interpret: bool = False, variant: str = "base"):
     """Fused-kernel twin of sample_scan.synth_samples: `nsamples` AR steps
     under ONE condition set with optional teacher forcing and per-stream
@@ -731,8 +739,10 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     and state stay in VMEM, ~10x faster per frame at batch 1024.
 
     cond: cond_a (B,3Na), cond_b (B,3Nb), lpc (B,16); target (B,nsamples);
-    preload/n_active (B,) int32. variant: 'base' or 'flat' (flattened
-    sampling tree, bit-identical). Returns (new_state, (B, nsamples))."""
+    preload/n_active/force_from (B,) int32 (steps i < preload[b] or
+    i >= force_from[b] follow the target). variant: 'base' or 'flat'
+    (flattened sampling tree, bit-identical).
+    Returns (new_state, (B, nsamples))."""
     flat = variant == "flat"
     B = cond["cond_a"].shape[0]
     Bp = max(8, -(-B // 8) * 8) if B <= MAX_BATCH_TILE \
@@ -745,12 +755,15 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
              "preload": (jnp.zeros((B,), jnp.int32) if preload is None
                          else preload),
              "n_active": (jnp.full((B,), nsamples, jnp.int32)
-                          if n_active is None else n_active)},
+                          if n_active is None else n_active),
+             "force_from": (jnp.full((B,), nsamples, jnp.int32)
+                            if force_from is None else force_from)},
             B, Bp)
         new_state, pcm = synth_samples_pallas(
             tables, pads["state"], pads["cond"], cfg, nsamples,
             target=pads["target"], preload=pads["preload"],
-            n_active=pads["n_active"], interpret=interpret, variant=variant)
+            n_active=pads["n_active"], force_from=pads["force_from"],
+            interpret=interpret, variant=variant)
         return jax.tree.map(lambda x: x[:B], new_state), pcm[:B]
 
     dfc = tables["dual_fc"]
@@ -760,15 +773,19 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
         target = jnp.zeros((B, nsamples))
         if preload is None:
             preload = jnp.zeros((B,), jnp.int32)
-    elif preload is None:
+    elif preload is None and force_from is None:
         preload = jnp.full((B,), nsamples, jnp.int32)
+    elif preload is None:
+        preload = jnp.zeros((B,), jnp.int32)
     if n_active is None:
         n_active = jnp.full((B,), nsamples, jnp.int32)
+    if force_from is None:
+        force_from = jnp.full((B,), nsamples, jnp.int32)
 
     bt = min(B, MAX_BATCH_TILE)
     if B == bt:
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        in_specs = [full] * (28 if flat else 25)
+        in_specs = [full] * (29 if flat else 26)
         out_specs = tuple([full] * 7)
         grid = None
     else:
@@ -793,7 +810,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
              if flat else []) + [
             pl.BlockSpec((nsamples, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            bspec(1), bspec(1),
+            bspec(1), bspec(1), bspec(1),
             bspec(na), bspec(nb), bspec(LPC_ORDER), bspec(1), bspec(1),
             bspec(4),
         ]
@@ -837,6 +854,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
       *dfc_args,
       target.T, preload[:, None].astype(jnp.int32),
       n_active[:, None].astype(jnp.int32),
+      force_from[:, None].astype(jnp.int32),
       state["gru_a"], state["gru_b"], state["last_sig"],
       state["last_exc"][:, None].astype(jnp.int32),
       state["deemph"][:, None], state["rng"])

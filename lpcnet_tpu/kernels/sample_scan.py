@@ -163,7 +163,8 @@ def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
                   cond: Dict[str, jax.Array], cfg, nsamples: int,
                   target: Optional[jax.Array] = None,
                   preload: Optional[jax.Array] = None,
-                  n_active: Optional[jax.Array] = None
+                  n_active: Optional[jax.Array] = None,
+                  force_from: Optional[jax.Array] = None
                   ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """Synthesize `nsamples` steps under ONE condition set — the equivalent
     of lpcnet_synthesize_tail_impl (lpcnet.c:235-271) called standalone,
@@ -171,20 +172,30 @@ def synth_samples(tables: Dict[str, Any], state: Dict[str, jax.Array],
 
     cond: cond_a (B,3Na), cond_b (B,3Nb), lpc (B,16).
     target: optional (B, nsamples); preload: optional (B,) int32 — samples
-    [0, preload) are teacher-forced. n_active: optional (B,) int32 — per
-    stream, only steps [0, n_active) advance state / emit output (the
-    batched form of the C's variable-length synthesize calls; inactive
-    streams keep their state, RNG included). Returns (state, (B, nsamples))."""
+    [0, preload) are teacher-forced. force_from: optional (B,) int32 —
+    samples [force_from, nsamples) are ALSO teacher-forced (tail forcing;
+    with it given, preload defaults to 0 instead of nsamples). n_active:
+    optional (B,) int32 — per stream, only steps [0, n_active) advance
+    state / emit output (the batched form of the C's variable-length
+    synthesize calls; inactive streams keep their state, RNG included).
+    Returns (state, (B, nsamples))."""
     approx, preemph = cfg.approx, cfg.preemph
     ca, cb, lp = cond["cond_a"], cond["cond_b"], cond["lpc"]
 
     def body(st, i):
         if target is not None:
-            pl = preload if preload is not None \
-                else jnp.full(ca.shape[:1], nsamples, jnp.int32)
+            if preload is not None:
+                pl = preload
+            elif force_from is not None:
+                pl = jnp.zeros(ca.shape[:1], jnp.int32)
+            else:
+                pl = jnp.full(ca.shape[:1], nsamples, jnp.int32)
+            tmask = i < pl
+            if force_from is not None:
+                tmask = tmask | (i >= force_from)
             new_st, out = sample_step(tables, st, ca, cb, lp, approx,
                                       preemph, target=target[:, i],
-                                      teacher_mask=i < pl)
+                                      teacher_mask=tmask)
         else:
             new_st, out = sample_step(tables, st, ca, cb, lp, approx,
                                       preemph)

@@ -95,29 +95,36 @@ def levinson(ac: jax.Array):
     done = error == 0  # never updates if ac[0]==0
 
     # Unrolled with static slices only (dynamic gathers in a scan were the
-    # dominant cost of the whole conditioning pipeline on TPU).
+    # dominant cost of the whole conditioning pipeline on TPU). Round 4:
+    # prefix `.at[]` writes lower to dynamic-update-slice (~2.5 us of
+    # scalar-path dispatch each on TPU); the same arithmetic as full-width
+    # masked selects fuses to one elementwise op per update, and all
+    # reversed prefix reads are static slices of one full reverse.
+    iota = jnp.arange(p)
+    acr = ac[..., ::-1]                        # acr[j] = ac[p-j] (width p+1)
     for i in range(p):
         if i > 0:
             # rr = sum_{j<i} lpc[j] * ac[i-j] + ac[i+1]
-            ac_rev = ac[..., 1:i + 1][..., ::-1]
-            rr = jnp.sum(lpc[..., :i] * ac_rev, axis=-1) + ac[..., i + 1]
+            rr = jnp.sum(lpc[..., :i] * acr[..., p - i:p], axis=-1) \
+                + ac[..., i + 1]
         else:
             rr = ac[..., 1]
         safe_err = jnp.where(error == 0, jnp.float32(1.0), error)
         r = -rr / safe_err
-        half = (i + 1) >> 1
-        new_lpc = lpc
-        if half > 0:
-            fwd = lpc[..., :half]
-            bwd = lpc[..., i - half:i][..., ::-1]     # lpc[i-1-j]
-            new_fwd = fwd + r[..., None] * bwd
-            new_bwd = bwd + r[..., None] * fwd
-            new_lpc = new_lpc.at[..., :half].set(new_fwd)
-            # for odd i the middle element overlaps; the mirrored write wins,
-            # matching the C's write order (freq.c:111-118)
-            new_lpc = new_lpc.at[..., i - half:i].set(new_bwd[..., ::-1])
-        new_lpc = new_lpc.at[..., i].set(r)
-        new_rc = rc.at[..., i].set(r)
+        # symmetric AR update lpc[k] += r*lpc[i-1-k] for all k<i; the
+        # middle element of odd i overlaps with an identical value
+        # (freq.c:111-118 write order)
+        if i > 0:
+            lpcr = lpc[..., ::-1]              # lpcr[p-1-k] = lpc[k]
+            partner = lpcr[..., p - i:p]       # lpc[i-1-k], k=0..i-1
+            partner = jnp.concatenate(
+                [partner, jnp.zeros(partner.shape[:-1] + (p - i,),
+                                    partner.dtype)], axis=-1)
+            new_lpc = jnp.where(iota < i, lpc + r[..., None] * partner, lpc)
+        else:
+            new_lpc = lpc
+        new_lpc = jnp.where(iota == i, r[..., None], new_lpc)
+        new_rc = jnp.where(iota == i, r[..., None], rc)
         new_err = error - r * r * error
         nd = ~done
         lpc = jnp.where(nd[..., None], new_lpc, lpc)

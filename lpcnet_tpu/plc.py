@@ -5,9 +5,14 @@ each with its own loss flag; all three control paths (good frame, first good
 frame after loss = "blend", lost frame) are computed batched and selected
 per stream with masks. This replaces the reference's per-stream branchy C
 (lpcnet_plc_update_causal :188-290, lpcnet_plc_conceal_causal :293-337)
-with two synthesis passes + ONE shared feature pass per frame (good
-streams' output is their input, so features of the output frame serve
-every path).
+with ONE fused synthesis launch + ONE feature pass per frame: lost rows
+free-run, good rows teacher-force the whole frame, blend rows free-run the
+first half and force the second — a per-row forcing window inside one
+kernel (kernels/sample_pallas.py force_from). The feature pass is
+pipelined one frame late (the extractor state advances on the PREVIOUS
+output while computing the CURRENT input's features), so the good-path
+features exist before the launch; for good streams output == input, so
+the features are identical to the unpipelined form.
 
 Deliberate divergences of PLCEngine from the C (documented):
   * We run teacher-forced state updates on every good frame — the
@@ -17,25 +22,31 @@ Deliberate divergences of PLCEngine from the C (documented):
   * A lost frame synthesizes all 160 samples from the newly predicted
     features; the C synthesizes the first 80 from the previous frame's
     conditions (lpcnet_plc.c:315-320). Blend cross-fade hides both.
+  * On a blend frame the sample state advances free-running over the
+    first 80 samples (the continuation that feeds the cross-fade) and
+    teacher-forced on the input thereafter; the former two-pass design
+    re-forced the faded audio from frame start. (Round-4 fusion; lost and
+    good rows advance bit-identically to the two-pass design.)
   * KISS99 draws advance on masked-off paths (a batched-execution artifact);
     per-stream outputs remain deterministic functions of inputs.
 
-StrictCausalPLCEngine below removes the first two divergences: it is a
+StrictCausalPLCEngine below removes these divergences: it is a
 bit-exact-class replica of the C's default causal engine (concealed and
 blend frames match the compiled reference within +-1 rounding flips — see
 tests/test_ref_parity.py::TestStrictPLCEngineParity).
 
-Perf (v5e, 2026-08, round 3): run() at B=1024 measures 1050x RT with the
-pallas backend (round 2: 613x; scan backend: 139x). Whole-run ablation
-at B=1024 (ms per frame-step): full 9.8 = free-run pallas pass ~4.1
-+ teacher_advance pass ~2.8 + feature pass ~1.1 + burg/PLC-net/FEC ~1.8.
-The round-3 gains: (1) feature pass 6.4 -> 1.1 ms by eliminating
-scalar-core gathers (see features.py — Viterbi transitions, half-lag
-penalty, windowing and xcorr segments are slices/repeats in disguise);
-(2) the fully-forced resync pass dispatches to the AR-free GRU-advance
-kernel (sample_pallas.teacher_advance_pallas). Micro-timings of
-standalone pieces are unreliable under the async transport — trust
-whole-run ablations and jax.profiler traces.
+Perf (v5e, B=1024): round 2 613x -> round 3 1050x (gather elimination in
+the feature pass; AR-free teacher_advance for resync) -> round 4
+**1548x** (6.6 ms/step): the two synthesis passes (free-run ~4.1 ms +
+teacher_advance ~2.8 ms of the 9.8 ms round-3 step) fused into ONE
+force_from kernel launch (~3.8 ms), the feature pass pipelined into one
+2-frame call, the two PLC-net steps stacked into one 2B-row call, and
+the remaining op-dispatch tail cut (Burg/Levinson recursions rewritten
+from `.at[]` scatter + prefix-reverse chains to full-width masked
+fusions; FEC queue reads as one-hot reduces). Scan backend: 139x.
+Micro-timings of standalone pieces are unreliable under the async
+transport — trust whole-run ablations and jax.profiler traces
+(PERF.md section 6).
 
 Feature queue for FEC (forward error correction via DRED) follows
 lpcnet_plc_fec_add / get_fec_or_pred / fec_rewind (lpcnet_plc.c:111-173).
@@ -101,16 +112,20 @@ class PLCEngine:
         return jax.tree.map(pick, a, b)
 
     def _synth_samples(self, synth_state, cond, nsamples, target=None,
-                       preload=None, n_active=None):
+                       preload=None, n_active=None, force_from=None):
         """Backend-dispatched sample synthesis under one condition set.
         FULLY teacher-forced calls (target given, no partial preload /
-        n_active) take the AR-free fast path: the forced output IS the
-        target, so sample_scan.teacher_advance batches the mu-law/embedding
-        math over all samples and only runs the GRU recurrences
-        sequentially — a large cut of the PLC step's serialized cost."""
+        n_active / force_from) take the AR-free fast path: the forced
+        output IS the target, so sample_scan.teacher_advance batches the
+        mu-law/embedding math over all samples and only runs the GRU
+        recurrences sequentially — a large cut of the PLC step's
+        serialized cost. force_from: (B,) int32 — samples >= force_from
+        are teacher-forced too (the fused PLC step's per-row mode
+        select: lost rows free-run, good rows force the whole frame,
+        blend rows force only the second half)."""
         cond = {k: cond[k] for k in ("cond_a", "cond_b", "lpc")}
         if (target is not None and preload is None and n_active is None
-                and target.shape[1] == nsamples):
+                and force_from is None and target.shape[1] == nsamples):
             if self.backend == "pallas":
                 from .kernels import sample_pallas
                 return sample_pallas.teacher_advance_pallas(
@@ -128,10 +143,11 @@ class PLCEngine:
             return sample_pallas.synth_samples_pallas(
                 self.tables, synth_state, cond, self.cfg, nsamples,
                 target=target, preload=preload, n_active=n_active,
-                variant=variant)
+                force_from=force_from, variant=variant)
         return sample_scan.synth_samples(
             self.tables, synth_state, cond, self.cfg, nsamples,
-            target=target, preload=preload, n_active=n_active)
+            target=target, preload=preload, n_active=n_active,
+            force_from=force_from)
 
     def init_state(self, batch: int) -> Dict[str, Any]:
         return {
@@ -151,6 +167,11 @@ class PLCEngine:
             "fec_skip": jnp.zeros((batch,), jnp.int32),
             "dc_mem": jnp.zeros((batch,), jnp.float32),
             "syn_dc": jnp.zeros((batch,), jnp.float32),
+            # previous frame's output audio: the enc feature-extractor
+            # state is advanced on it one step late (see _step_impl) so
+            # that the good-path features are available BEFORE the single
+            # fused synthesis launch
+            "prev_out": jnp.zeros((batch, FRAME_SIZE), jnp.float32),
         }
 
     def fec_add(self, state, feats, mask=None):
@@ -218,25 +239,11 @@ class PLCEngine:
         return state, outs.transpose(1, 0, 2).reshape(B, T * FRAME_SIZE)
 
     # ------------------------------------------------------------------
-    def _synth_frame(self, synth_state, fstate, feats, target=None,
-                     preload=None):
-        """One streaming synthesis frame through the frame-rate net."""
-        fstate, cond = lpcnet_model.frame_net_step(
-            self.params, self.tables, fstate, feats, self.cfg)
-        new_synth, out = self._synth_samples(
-            synth_state, cond, self.cfg.frame_size,
-            target=target, preload=preload)
-        # first FEATURES_DELAY frames are silence (lpcnet.c:239-243)
-        warm = (fstate["frame_count"] > self.cfg.lookahead)
-        out = jnp.where(warm[:, None], out, 0.0)
-        return new_synth, fstate, out
-
     def _step_impl(self, state, pcm, lost):
         B = pcm.shape[0]
         cfg = self.cfg
 
         # --- optional DC removal on the incoming audio (lpcnet_plc.c:195-204)
-        dc_mem = state["dc_mem"] + jnp.where(lost, 0.0, 0.0)
         if self.options.remove_dc:
             dc_mem = state["dc_mem"] + state["syn_dc"]
             def dc_scan(m, x):
@@ -251,23 +258,43 @@ class PLCEngine:
         else:
             pcm_proc = pcm
             lp = jnp.zeros_like(pcm)
+            dc_mem = state["dc_mem"]
             syn_dc = state["syn_dc"]
 
         # --- burg features of incoming audio (valid on good frames)
         burg36 = burg_ops.burg_cepstral_analysis(pcm_proc)
 
-        # --- FEC availability (get_fec_or_pred, lpcnet_plc.c:147-166)
+        # --- PIPELINED enc feature pass: advance the extractor on the
+        # PREVIOUS frame's output (good streams' output was their input,
+        # lost/blend streams' their synthesized/blended audio — same
+        # history the C extractor sees, one step late), then compute this
+        # frame's input features. For good streams output == input, so
+        # featg is exactly the features the good path needs — and it is
+        # available BEFORE synthesis, which lets the step run ONE fused
+        # kernel launch instead of a free-run pass + a resync pass.
+        # ONE 2-frame analysis call: frame 1 = previous output (advances
+        # the kept state), frame 2 = current input (features only); the
+        # kept state is the mid state after frame 1.
+        _, featsg, _, enc_mid = F.compute_features(
+            state["enc"],
+            jnp.concatenate([state["prev_out"], pcm_proc], axis=-1),
+            mode="single", return_mid=True)
+        featg = featsg[:, 1, :NB_FEATURES]
+
+        # --- FEC availability (get_fec_or_pred, lpcnet_plc.c:147-166).
+        # The queue read is a one-hot reduce, not take_along_axis: TPU
+        # lowers element gathers to the scalar core (~36 us/frame here)
         has_fec = ((state["fec_read"] < state["fec_fill"])
                    & (state["fec_skip"] == 0) & lost)
-        fec_feat = jnp.take_along_axis(
-            state["fec"],
-            jnp.clip(state["fec_read"], 0, PLC_MAX_FEC - 1)
-            [:, None, None].repeat(NB_FEATURES, -1), axis=1)[:, 0]
+        rd1 = (jnp.arange(PLC_MAX_FEC)[None, :]
+               == jnp.clip(state["fec_read"], 0,
+                           PLC_MAX_FEC - 1)[:, None])
+        fec_feat = jnp.sum(
+            jnp.where(rd1[..., None], state["fec"], 0.0), axis=1)
 
-        # --- PLC net step for the lost/blend paths (their inputs do not
-        # need enc features, so the output can be synthesized BEFORE the
-        # single shared feature pass below — this halves the step's
-        # feature-extraction cost, which ablation showed dominates)
+        # --- ONE stacked PLC-net step for both the lost/blend input and
+        # the good-path input (compute_plc_pred is GRU-latency-bound at
+        # these widths; 2B rows cost the same as B)
         zeros36 = jnp.zeros((B, 2 * NB_BANDS), jnp.float32)
         zeros20 = jnp.zeros((B, NB_FEATURES), jnp.float32)
         one = jnp.ones((B, 1), jnp.float32)
@@ -278,6 +305,7 @@ class PLCEngine:
         x_lb = jnp.where(lost[:, None],
                          jnp.where(has_fec[:, None], in_fec, in_lost),
                          in_blend)
+        in_good = jnp.concatenate([burg36, featg, one], axis=-1)
 
         # restore plc state from the copy on blend (lpcnet_plc.c:217)
         copies = state["plc_copies"]
@@ -291,8 +319,14 @@ class PLCEngine:
                 jnp.concatenate([cur[:, None], cp[:, :-1]], axis=1), cp),
             copies, plc_net_in)
 
-        plc_lb, pred = plc_model.step(self.plc_params, plc_net_in, x_lb,
-                                      self.plc_cfg)
+        st2 = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                           plc_net_in, state["plc_net"])
+        plc2, pred2 = plc_model.step(
+            self.plc_params, st2, jnp.concatenate([x_lb, in_good], axis=0),
+            self.plc_cfg)
+        plc_lb = jax.tree.map(lambda x: x[:B], plc2)
+        plc_g = jax.tree.map(lambda x: x[B:], plc2)
+        pred = pred2[:B]
 
         # concealment features: FEC frame or prediction, with c0 attenuation
         # (lpcnet_plc.c:316-319)
@@ -304,53 +338,47 @@ class PLCEngine:
         feat_lost = jnp.where(has_fec[:, None], fec_feat, pred)
         feat_lost = feat_lost.at[:, 0].set(
             jnp.maximum(-10.0, feat_lost[:, 0] + att))
-        feat_blend = pred
 
-        # --- synthesis pass A: free-run for lost | blend streams
-        featsA20 = jnp.where(lost[:, None], feat_lost, feat_blend)
-        featsA = jnp.zeros((B, NB_TOTAL_FEATURES), jnp.float32)
-        featsA = featsA.at[:, :NB_FEATURES].set(featsA20)
-        synthA, fnetA, outA = self._synth_frame(state["synth"],
-                                                state["fnet"], featsA)
+        # --- ONE fused synthesis launch for all three paths, selected
+        # per row by the conditioning features and the forcing window:
+        #   lost  rows free-run from the concealment features,
+        #   good  rows teacher-force the whole frame on their input,
+        #   blend rows free-run the first half (the continuation used by
+        #         the cross-fade) and force the second half on the input.
+        # Lost and good rows advance bit-identically to the former
+        # two-pass design (same state, same conditions, same targets);
+        # blend rows' first 80 samples now advance free-running instead of
+        # teacher-forced on the faded audio — a documented divergence of
+        # this (already non-strict) engine; the cross-fade output is
+        # unchanged in form.
+        feats20 = jnp.where(lost[:, None], feat_lost,
+                            jnp.where(blend[:, None], pred, featg))
+        feats = jnp.zeros((B, NB_TOTAL_FEATURES), jnp.float32)
+        feats = feats.at[:, :NB_FEATURES].set(feats20)
+        new_fnet, cond = lpcnet_model.frame_net_step(
+            self.params, self.tables, state["fnet"], feats, cfg)
+        force_from = jnp.where(
+            lost, cfg.frame_size,
+            jnp.where(blend, TRAINING_OFFSET, 0)).astype(jnp.int32)
+        new_synth, synth_out = self._synth_samples(
+            state["synth"], cond, cfg.frame_size, target=pcm_proc,
+            force_from=force_from)
+        # first FEATURES_DELAY frames are silence (lpcnet.c:239-243)
+        warm = (new_fnet["frame_count"] > cfg.lookahead)
+        synth_out = jnp.where(warm[:, None], synth_out, 0.0)
 
         # blend cross-fade over the first half frame (lpcnet_plc.c:225-229)
         i = jnp.arange(TRAINING_OFFSET, dtype=jnp.float32)
         w = 0.5 - 0.5 * jnp.cos(np.pi * i / TRAINING_OFFSET)
         fade = w[None, :] * pcm_proc[:, :TRAINING_OFFSET] \
-            + (1 - w)[None, :] * outA[:, :TRAINING_OFFSET]
+            + (1 - w)[None, :] * synth_out[:, :TRAINING_OFFSET]
         blended = jnp.concatenate([fade, pcm_proc[:, TRAINING_OFFSET:]],
                                   axis=-1)
-        output = jnp.where(lost[:, None], outA,
+        output = jnp.where(lost[:, None], synth_out,
                            jnp.where(blend[:, None], blended, pcm_proc))
 
-        # --- ONE shared enc feature pass: good streams' output IS their
-        # (DC-removed) input, so features of `output` serve every path —
-        # the input features for the good-path PLC update AND the post-
-        # conceal/blend state advance the C does (lpcnet_plc.c:251-254,
-        # :322-328)
-        new_enc, featsg, _ = F.compute_features(state["enc"], output,
-                                                mode="single")
-        featg = featsg[:, 0, :NB_FEATURES]
-
-        # --- PLC net step for the good path (needs featg)
-        in_good = jnp.concatenate([burg36, featg, one], axis=-1)
-        plc_g, _ = plc_model.step(self.plc_params, state["plc_net"],
-                                  in_good, self.plc_cfg)
         lb = lost | blend
         plc_net_out = self._sel_mask(lb, plc_lb, plc_g)
-
-        # --- synthesis pass B: teacher-forced resync for good streams —
-        # fully forced, so it dispatches to the AR-free teacher_advance
-        featsB = jnp.zeros((B, NB_TOTAL_FEATURES), jnp.float32)
-        featsB = featsB.at[:, :NB_FEATURES].set(
-            jnp.where(blend[:, None], pred, featg))
-        synthB, fnetB, _ = self._synth_frame(state["synth"], state["fnet"],
-                                             featsB, target=output)
-
-        pick = lambda a, b: jnp.where(
-            lost.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
-        new_synth = jax.tree.map(pick, synthA, synthB)
-        new_fnet = jax.tree.map(pick, fnetA, fnetB)
 
         # --- FEC bookkeeping
         fec_read = state["fec_read"]
@@ -369,6 +397,10 @@ class PLCEngine:
         fec_read = jnp.where(
             blend, jnp.maximum(fec_keep, fec_read - cfg.lookahead), fec_read)
 
+        # the extractor advances on the DC-REMOVED output next step (the
+        # former in-step feature pass also ran before the DC re-add below)
+        prev_out = output
+
         # --- DC on concealed output (lpcnet_plc.c:330-335)
         if self.options.remove_dc:
             def sdc_scan(m, xx):
@@ -382,7 +414,7 @@ class PLCEngine:
 
         new_state = dict(state)
         new_state.update(
-            synth=new_synth, fnet=new_fnet, enc=new_enc,
+            synth=new_synth, fnet=new_fnet, enc=enc_mid, prev_out=prev_out,
             plc_net=plc_net_out, plc_copies=new_copies,
             loss_count=jnp.where(lost,
                                  jnp.where(has_fec, 0, lc + 1), 0),

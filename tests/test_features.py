@@ -81,3 +81,40 @@ class TestFeatureParity:
         _, f1, _ = F.compute_features(state, x[:1])
         np.testing.assert_allclose(np.asarray(f2[0]), np.asarray(f1[0]),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestReturnMid:
+    def test_mid_state_equals_one_frame_call(self):
+        """return_mid's mid state must be EXACTLY the state a 1-frame call
+        produces, and the 2-frame features must match two serial 1-frame
+        calls (the fused PLC step depends on both properties)."""
+        rs = np.random.RandomState(7)
+        B = 2
+        f0 = jnp.asarray(rs.randn(B, 160).astype(np.float32) * 2000)
+        f1 = jnp.asarray(rs.randn(B, 160).astype(np.float32) * 2000)
+        st0 = F.init_state(B)
+        # warm the state so histories are nontrivial
+        st0, _, _ = F.compute_features(
+            st0, jnp.asarray(rs.randn(B, 320).astype(np.float32) * 2000),
+            mode="single")
+
+        full_state, feats2, _, mid = F.compute_features(
+            st0, jnp.concatenate([f0, f1], axis=-1), mode="single",
+            return_mid=True)
+        one_state, featsA, _ = F.compute_features(st0, f0, mode="single")
+        two_state, featsB, _ = F.compute_features(one_state, f1,
+                                                  mode="single")
+        for k in one_state:
+            np.testing.assert_allclose(
+                np.asarray(mid[k]), np.asarray(one_state[k]), rtol=1e-6,
+                atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(np.asarray(feats2[:, 0]),
+                                   np.asarray(featsA[:, 0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(feats2[:, 1]),
+                                   np.asarray(featsB[:, 0]),
+                                   rtol=1e-5, atol=1e-5)
+        for k in two_state:
+            np.testing.assert_allclose(
+                np.asarray(full_state[k]), np.asarray(two_state[k]),
+                rtol=1e-5, atol=1e-5, err_msg=k)
