@@ -26,6 +26,8 @@ reference's download_model.sh flow — with a loud warning + seed-0 random
 fallback when the artifacts are absent.
 """
 import argparse
+import glob
+import json
 import os
 import sys
 import time
@@ -491,13 +493,35 @@ def cmd_dump_data(args) -> int:
     btest  = clean [burg36|feat36] frames, no augmentation
     qtrain/qtest = train/test with features quantized through the codec
              (dump_data.c:154-161), so models train on decoder-side
-             conditioning; pass --codebooks for trained codebooks"""
+             conditioning; pass --codebooks for trained codebooks
+
+    input may be a DIRECTORY of voices (tools/make_voices.py output): the
+    train/btrain modes then iterate every TRAINING voice from its
+    manifest.json (held-out voices are excluded), running --passes
+    augmentation passes per voice — the multi-speaker corpus path."""
     import jax
     import jax.numpy as jnp
     from . import data as D
     from . import features as F
     from .ops import burg as burg_ops
-    pcm = read_pcm(args.input)
+    sources = None
+    if os.path.isdir(args.input):
+        assert args.mode in ("train", "btrain"), \
+            "directory input is for the train/btrain corpus modes"
+        man_path = os.path.join(args.input, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                names = json.load(f)["train"]
+        else:
+            names = sorted(os.path.basename(p) for p in
+                           glob.glob(os.path.join(args.input, "*.s16")))
+        sources = [(n, read_pcm(os.path.join(args.input, n)))
+                   for n in names]
+        print(f"corpus input: {len(sources)} training voices "
+              f"x {args.passes} passes", flush=True)
+        pcm = sources[0][1]
+    else:
+        pcm = read_pcm(args.input)
     cbs = _load_codebooks(args.codebooks) \
         if args.mode in ("qtrain", "qtest") else None
     if args.mode in ("test", "btest", "qtest"):
@@ -544,43 +568,56 @@ def cmd_dump_data(args) -> int:
               f"-> {args.features}")
         return 0
     assert args.data, "train modes need an output data.s16 path"
-    feats_all, data_all = [], []
     if args.mode == "train" and args.batch_passes > 1:
         # corpus path: run passes as parallel batched feature streams
-        # (prepare_training_data_batch); optional speed augmentation
+        # (prepare_training_data_batch); optional speed augmentation.
+        # Multi-voice input loops voices in the outer dimension with a
+        # per-voice seed offset so no two (voice, pass) pairs share
+        # augmentation filters.
+        srcs = sources or [(os.path.basename(args.input), pcm)]
         with open(args.features, "wb") as ff, open(args.data, "wb") as fd:
             total = 0
-            for p0 in range(0, args.passes, args.batch_passes):
-                seeds = range(args.seed + p0,
-                              args.seed + min(args.passes,
+            for vi, (vname, vpcm) in enumerate(srcs):
+                vseed = args.seed + 100003 * vi
+                for p0 in range(0, args.passes, args.batch_passes):
+                    seeds = range(vseed + p0,
+                                  vseed + min(args.passes,
                                               p0 + args.batch_passes))
-                feats, data = D.prepare_training_data_batch(
-                    pcm, seeds, speed_aug=args.speed_aug)
-                feats.tofile(ff)
-                data.astype(np.int16).tofile(fd)
-                total += feats.shape[0]
-                print(f"  pass {p0 + len(list(seeds))}/{args.passes}: "
-                      f"{total} frames", flush=True)
+                    feats, data = D.prepare_training_data_batch(
+                        vpcm, seeds, speed_aug=args.speed_aug)
+                    feats.tofile(ff)
+                    data.astype(np.int16).tofile(fd)
+                    total += feats.shape[0]
+                    print(f"  {vname} pass "
+                          f"{p0 + len(list(seeds))}/{args.passes}: "
+                          f"{total} frames", flush=True)
         print(f"wrote {total} x {NB_TOTAL_FEATURES} frames "
-              f"({args.passes} passes) -> {args.features}, {args.data}")
+              f"({args.passes} passes x {len(srcs)} sources) -> "
+              f"{args.features}, {args.data}")
         return 0
     # multiple passes with different augmentation filters
     # (dump_data.c:245-257, README.md:110)
-    for p in range(args.passes):
-        if args.mode == "btrain":
-            feats, data, burg36 = D.prepare_training_data(
-                pcm, seed=args.seed + p, include_burg=True)
-            feats = np.concatenate([burg36, feats], axis=-1)
-        else:
-            feats, data = D.prepare_training_data(
-                pcm, seed=args.seed + p, quantize_codebooks=cbs)
-        feats_all.append(feats)
-        data_all.append(data)
-    allf = np.concatenate(feats_all).astype(np.float32)
-    allf.tofile(args.features)
-    np.concatenate(data_all).astype(np.int16).tofile(args.data)
-    print(f"wrote {allf.shape[0]} x {allf.shape[1]} frames "
-          f"({args.passes} passes) -> {args.features}, {args.data}")
+    srcs = sources or [(os.path.basename(args.input), pcm)]
+    total = 0
+    width = None
+    with open(args.features, "wb") as ff, open(args.data, "wb") as fd:
+        for vi, (vname, vpcm) in enumerate(srcs):
+            vseed = args.seed + 100003 * vi
+            for p in range(args.passes):
+                if args.mode == "btrain":
+                    feats, data, burg36 = D.prepare_training_data(
+                        vpcm, seed=vseed + p, include_burg=True)
+                    feats = np.concatenate([burg36, feats], axis=-1)
+                else:
+                    feats, data = D.prepare_training_data(
+                        vpcm, seed=vseed + p, quantize_codebooks=cbs)
+                feats.astype(np.float32).tofile(ff)
+                data.astype(np.int16).tofile(fd)
+                total += feats.shape[0]
+                width = feats.shape[1]
+    print(f"wrote {total} x {width} frames "
+          f"({args.passes} passes x {len(srcs)} sources) -> "
+          f"{args.features}, {args.data}")
     return 0
 
 

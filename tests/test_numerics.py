@@ -191,3 +191,19 @@ class TestDsp:
         y, _ = dsp.preemphasis(jnp.asarray(x), jnp.zeros(3))
         z, _ = dsp.deemphasis_scan(y, jnp.zeros(3))
         np.testing.assert_allclose(np.asarray(z), x, rtol=1e-3, atol=1e-4)
+
+
+class TestPadeFit:
+    def test_fit_tool_converges(self):
+        """tools/fit_pade.py (counterpart of training_tf2/pade.py): a short
+        staged fit from the Taylor seed must already beat 2e-3 max error
+        on the reference grid (the full run reaches ~2e-4, better than the
+        reference's committed ~6e-4 constants)."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.fit_pade import fit
+        coeffs, emax, emean = fit(steps_per_stage=300, verbose=False)
+        assert emax < 2e-3, emax
+        # the seed itself is the exact Pade expansion around 0: the fit
+        # must stay in its vicinity (sanity against divergence)
+        assert abs(coeffs["num"][0] - 945.0) < 50.0
