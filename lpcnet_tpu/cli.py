@@ -858,6 +858,12 @@ def cmd_train_rdovae(args) -> int:
         epoch0 = int(meta0.get("epoch", -1)) + 1
     else:
         params = rv.init_params(jax.random.PRNGKey(args.seed), cfg)
+        if args.rate_init:
+            # RD-ordered per-level scales (see rv.rate_aware_quant_init):
+            # the zero init needs many epochs before the 16 lambda levels
+            # quantize differently; this starts them on the uniform-
+            # quantizer optimum scale(q) ∝ sqrt(lambda(q))
+            params = rv.rate_aware_quant_init(params, cfg)
         opt_state, step, epoch0 = opt.init(params), 0, 0
     T = args.seq_len
     nseq = feats.shape[0] // T
@@ -1139,6 +1145,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GRU width (1024 = TF trainer default; 256 = the "
                         "torch trainer's deployable geometry)")
     s.add_argument("--cond-size2", type=int, default=256)
+    s.add_argument("--rate-init", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="start the 16 quantizer levels on the RD-optimal "
+                        "scale(q) ∝ sqrt(lambda(q)) instead of the "
+                        "reference's all-equal zero init (models/rdovae."
+                        "py::rate_aware_quant_init)")
     s.set_defaults(fn=cmd_train_rdovae)
 
     s = sub.add_parser("rdovae-encode", help="features -> latents")

@@ -88,6 +88,35 @@ def init_params(rng: jax.Array, cfg: RDOVAEConfig = RDOVAEConfig()):
     return {"enc": enc, "dec": dec, "quant_embed": quant}
 
 
+def rate_aware_quant_init(params, cfg: RDOVAEConfig = RDOVAEConfig(),
+                          lam_min: float = 2e-4, denom: float = 3.8):
+    """Initialize the per-level quantizer SCALES on the uniform-quantizer
+    rate-distortion optimum instead of all-equal.
+
+    The reference zero-inits the lambda embedding (rdovae.py:466), so all
+    16 levels start with softplus(0) = 0.693 scales and must differentiate
+    purely through the lambda-weighted loss — which takes many epochs on a
+    large corpus (an undertrained checkpoint quantizes every level almost
+    identically). For loss lam*D + R with a uniform quantizer
+    (D ~= delta^2/12, R ~= -log2 delta per dimension), the optimal step
+    solves d/d delta = 0 => delta ∝ lam^{-1/2}, i.e. scale ∝ sqrt(lam).
+    This sets scale(q) = 0.693 * sqrt(lam(q)/lam(mid)) — the mid level
+    keeps the reference's starting scale, the RD frontier is ordered from
+    step 0, and the embedding remains fully trainable (init only; a
+    documented divergence from the reference's zero init).
+    """
+    nb, nq = cfg.nb_latents, cfg.nb_quant
+    q = np.arange(nq, dtype=np.float32)
+    lam = lam_min * np.exp(q / denom)
+    mid = lam_min * np.exp(0.5 * (nq - 1) / denom)
+    target = 0.693147 * np.sqrt(lam / mid)            # (nq,)
+    # softplus^{-1}(y) = log(expm1(y))
+    raw = np.log(np.expm1(target)).astype(np.float32)
+    e = np.asarray(params["quant_embed"]["e"]).copy()
+    e[:, :nb] = raw[:, None]
+    return {**params, "quant_embed": {"e": jnp.asarray(e)}}
+
+
 def _gru_seq(p, x, h0, approx):
     """GRU over (B, T, in) with hoisted input matmul -> (B, T, N)."""
     zrh = x @ p["wi"] + p["bi"]

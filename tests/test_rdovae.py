@@ -190,3 +190,22 @@ class TestFecFiles:
         assert brates == rates
         for a, b in zip(packets, back):
             np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+class TestRateAwareInit:
+    def test_scales_span_sqrt_lambda(self):
+        """rate_aware_quant_init orders the 16 levels on scale ∝ sqrt(λ):
+        q15/q0 scale ratio = sqrt(exp(15/3.8)) ≈ 7.2, monotone."""
+        import jax
+        from lpcnet_tpu.models import rdovae as rv
+        cfg = rv.RDOVAEConfig(cond_size=32, cond_size2=16)
+        p = rv.rate_aware_quant_init(rv.init_params(jax.random.PRNGKey(0),
+                                                    cfg), cfg)
+        import jax.numpy as jnp
+        qp = rv.quant_params(p, jnp.arange(cfg.nb_quant), cfg)
+        s = np.asarray(qp["scale"])[:, 0]
+        assert np.all(np.diff(s) > 0)
+        np.testing.assert_allclose(s[15] / s[0],
+                                   np.sqrt(np.exp(15 / 3.8)), rtol=0.05)
+        # mid level keeps the reference's softplus(0) starting scale
+        np.testing.assert_allclose(0.5 * (s[7] + s[8]), 0.6931, rtol=0.02)
