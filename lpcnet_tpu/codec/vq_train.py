@@ -67,7 +67,11 @@ def kmeans(rng: jax.Array, x: jax.Array, k: int, iters: int = 4,
     split (C: 4) + final_iters at full size (C: 20)."""
     cb = jnp.mean(x, axis=0, keepdims=True)
     cur = 1
-    lloyd = jax.jit(lambda c, r: _lloyd_pass(c, r, x), donate_argnums=0)
+    # x rides as a jit ARGUMENT, not a closure: closed-over corpora are
+    # baked into the compile payload as literals, which overflows the
+    # remote-compile transport at 1M-frame scale (HTTP 413)
+    lloyd = jax.jit(_lloyd_pass, donate_argnums=0)
+    x = jnp.asarray(x)
     while cur < k:
         rng, sub = jax.random.split(rng)
         noise = 0.02 * jax.random.normal(sub, cb.shape) * \
@@ -76,10 +80,10 @@ def kmeans(rng: jax.Array, x: jax.Array, k: int, iters: int = 4,
         cur *= 2
         for _ in range(iters):
             rng, sub = jax.random.split(rng)
-            cb = lloyd(cb, sub)
+            cb = lloyd(cb, sub, x)
     for _ in range(final_iters):
         rng, sub = jax.random.split(rng)
-        cb = lloyd(cb, sub)
+        cb = lloyd(cb, sub, x)
     return cb[:k]
 
 
@@ -200,11 +204,13 @@ def kmeans_multi(rng: jax.Array, targets: jax.Array, k: int,
         + 0.01 * (jax.random.uniform(sub, (P, D)) - 0.5)     # (4, D)
     cur = P
 
-    def upd(cb_, rng_):
-        e, s = _assign_multi(targets, cb_, sign)
+    def upd(cb_, targets_, rng_):
+        # targets_ is a jit argument (see kmeans: closed-over corpora
+        # overflow the remote-compile payload at 1M-frame scale)
+        e, s = _assign_multi(targets_, cb_, sign)
         pred = e % P
         t_sel = jnp.take_along_axis(
-            targets, pred[:, None, None].astype(jnp.int32)
+            targets_, pred[:, None, None].astype(jnp.int32)
             .repeat(D, -1), axis=1)[:, 0]
         signed_t = s[:, None] * t_sel
         sums = jax.ops.segment_sum(signed_t, e, num_segments=cb_.shape[0])
@@ -214,13 +220,14 @@ def kmeans_multi(rng: jax.Array, targets: jax.Array, k: int,
         # re-seed empty cells with the residual of their own predictor
         rng_, sub_ = jax.random.split(rng_)
         ridx = jax.random.randint(sub_, (cb_.shape[0],), 0, N)
-        repl = targets[ridx, jnp.arange(cb_.shape[0]) % P]
+        repl = targets_[ridx, jnp.arange(cb_.shape[0]) % P]
         return jnp.where((counts > 0)[:, None], new_cb, repl)
 
     upd_j = jax.jit(upd, donate_argnums=0)
+    targets = jnp.asarray(targets)
     for _ in range(10):
         rng, sub = jax.random.split(rng)
-        cb = upd_j(cb, sub)
+        cb = upd_j(cb, targets, sub)
     while cur < k:
         rng, sub = jax.random.split(rng)
         noise = 0.02 * jax.random.normal(sub, cb.shape) * \
@@ -229,10 +236,10 @@ def kmeans_multi(rng: jax.Array, targets: jax.Array, k: int,
         cur *= 2
         for _ in range(iters):
             rng, sub = jax.random.split(rng)
-            cb = upd_j(cb, sub)
+            cb = upd_j(cb, targets, sub)
     for _ in range(final_iters):
         rng, sub = jax.random.split(rng)
-        cb = upd_j(cb, sub)
+        cb = upd_j(cb, targets, sub)
     return cb[:k]
 
 

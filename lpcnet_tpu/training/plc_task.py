@@ -18,11 +18,13 @@ from ..models import plc as plc_model
 from ..ops import dsp
 
 
-def plc_loss(y_true, y_pred, received_mask, alpha: float = 1.0,
+def plc_loss(y_true, y_pred, lost_mask, alpha: float = 1.0,
              bias: float = 0.0):
-    """train_plc.py:160-178. y_true/y_pred: (B, T, 20); received_mask:
-    (B, T, 1) with 1 on received frames."""
-    e = (y_pred - y_true) * received_mask
+    """train_plc.py:160-178. y_true/y_pred: (B, T, 20); lost_mask:
+    (B, T, 1) with 1 on LOST frames — the loss supervises the frames the
+    net must conceal (the reference appends `1.0 - out_lost` as the mask
+    column, plc_loader.py:83)."""
+    e = (y_pred - y_true) * lost_mask
     e_bands = dsp.idct(e[..., :NB_BANDS])
     bias_mask = jnp.clip(4.0 * y_true[..., 19:20], 0.0, 1.0)
     return (jnp.mean(jnp.abs(e))
@@ -51,7 +53,11 @@ def make_batch(rng: jax.Array, features: jax.Array, lost_trace: jax.Array):
     flag = received * (2.0 * burg_ok - 1.0)                # {1, -1}, 0 lost
     inputs = jnp.concatenate([in_feats, flag], axis=-1)
     targets = features[..., nb_burg:]
-    return {"inputs": inputs, "targets": targets, "mask": received}
+    # the loss supervises LOST frames (the reference target's mask column
+    # is `1.0 - out_lost`, plc_loader.py:79-84 — round-4 polarity fix:
+    # masking by `received` trains the net to echo visible frames and
+    # leaves concealment barely better than predict-zero)
+    return {"inputs": inputs, "targets": targets, "mask": 1.0 - received}
 
 
 def loss_fn(params, batch, cfg=plc_model.PLCConfig(), alpha=1.0, bias=0.0):

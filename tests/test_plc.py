@@ -192,13 +192,20 @@ class TestPLCTraining:
                 first = float(m["loss"])
         assert float(m["loss"]) < first
 
-    def test_mask_zeroes_lost_frames(self):
+    def test_lost_frames_hidden_from_input_and_supervised(self):
+        """All-lost trace: inputs fully zeroed, and the loss mask is 1
+        everywhere — concealment is supervised ON the lost frames (the
+        reference's mask column is `1.0 - out_lost`, plc_loader.py:83)."""
         rs = np.random.RandomState(1)
         feats = jnp.asarray(rs.randn(2, 8, 56).astype(np.float32))
         trace = jnp.zeros((2, 8))
         batch = plc_task.make_batch(jax.random.PRNGKey(0), feats, trace)
         assert float(jnp.abs(batch["inputs"][..., :56]).max()) == 0.0
-        assert float(batch["mask"].max()) == 0.0
+        assert float(batch["mask"].min()) == 1.0
+        # all-received trace: nothing to conceal, mask all zero
+        batch2 = plc_task.make_batch(jax.random.PRNGKey(0), feats,
+                                     jnp.ones((2, 8)))
+        assert float(batch2["mask"].max()) == 0.0
 
 
 class TestNonCausalPLCEngine:
