@@ -21,13 +21,25 @@ from .models import rdovae as rv
 @dataclasses.dataclass(frozen=True)
 class DREDConfig:
     num_dframes: int = 16          # redundancy span: 16 * 20 ms = 320 ms
-    q0: int = 15                   # newest dframe quant level (finest)
-    q1: int = 3                    # oldest dframe quant level (coarsest)
+    # lambda levels: HIGH q = HIGH lambda = LOW rate (the loss weights
+    # distortion by 1/sqrt(lambda) and rate by sqrt(lambda),
+    # rdovae.py:129-170) — so q3 is the FINE end and q15 the COARSE end.
+    # The reference ramps q15 at the oldest redundancy position to q3 at
+    # the newest (fec_encoder.py:200-209 applied over the per-packet
+    # window at :242-243): older redundancy is coarser.
+    q0: int = 3                    # newest dframe quant level (finest)
+    q1: int = 15                   # oldest dframe quant level (coarsest)
 
 
 def quant_id_ramp(cfg: DREDConfig) -> np.ndarray:
     """Per-position quantizer ids, newest -> oldest (fec_encoder.py:200-209:
-    older redundancy is coarser; ids index the lambda embedding)."""
+    older redundancy is coarser; ids index the lambda embedding).
+
+    Round-4 fix: this ramp previously ran q15 -> q3 newest -> oldest,
+    giving the NEWEST dframe the coarsest level — invisible while the
+    shipped checkpoint's levels were undertrained and interchangeable,
+    wrong (and measurably so) now that the levels span a real
+    rate-distortion range."""
     i = np.arange(cfg.num_dframes, dtype=np.float32)
     ramp = cfg.q0 + (cfg.q1 - cfg.q0) * i / max(1, cfg.num_dframes - 1)
     return np.round(ramp).astype(np.int32)

@@ -132,10 +132,12 @@ class TestDRED:
         assert np.isfinite(np.asarray(out)).all()
 
     def test_quant_ramp_monotone(self):
-        ramp = dred.quant_id_ramp(dred.DREDConfig(num_dframes=8, q0=15,
-                                                  q1=3))
-        assert ramp[0] == 15 and ramp[-1] == 3
-        assert (np.diff(ramp) <= 0).all()
+        """Newest (index 0) gets the FINE end (low q = low lambda = high
+        rate), oldest the coarse end — matching fec_encoder.py:200-209
+        where the per-packet window position 0 (oldest) gets q15."""
+        ramp = dred.quant_id_ramp(dred.DREDConfig(num_dframes=8))
+        assert ramp[0] == 3 and ramp[-1] == 15
+        assert (np.diff(ramp) >= 0).all()
 
 
 class TestShippedDRED:
