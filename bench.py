@@ -283,7 +283,21 @@ def sample_kernel_mfu(rt_factor):
             "model_tflops": round(model_flops / 1e12, 3)}
 
 
-def main():
+def bench_verify():
+    """On-device verification of the compiled Pallas kernels vs their
+    oracles (lpcnet_tpu/verify.py). Raises on any gate failure — a
+    Mosaic miscompile at the shipped config is a release blocker."""
+    from lpcnet_tpu import verify
+    report = verify.verify_on_device()
+    return verify.summary_line(report)
+
+
+def main(argv=None):
+    import sys
+    argv = sys.argv[1:] if argv is None else argv
+    if "--verify" in argv:
+        print(json.dumps(bench_verify()))
+        return
     # Per-stage lines print by default so every recorded bench run is
     # self-evidencing (set LPCNET_BENCH_STAGES=none to skip them; they cost
     # seconds). The synthesis headline stays the LAST line for the parser.
@@ -292,6 +306,13 @@ def main():
         for r in ([bench_features()] + bench_codec() + [bench_plc()]
                   + bench_dred() + [bench_train()]):
             print(json.dumps(r), flush=True)
+    # compiled-kernel verification runs by default on TPU (skip with
+    # LPCNET_BENCH_VERIFY=0): every recorded bench is also a correctness
+    # proof of the exact compiled path it timed
+    import jax
+    if (os.environ.get("LPCNET_BENCH_VERIFY", "1") != "0"
+            and jax.devices()[0].platform in ("tpu", "axon")):
+        print(json.dumps(bench_verify()), flush=True)
     result, rt = bench_synthesis()
     if stages:
         print(json.dumps(sample_kernel_mfu(rt)), flush=True)

@@ -56,8 +56,8 @@ class TestDREDParity:
         ref_lat = np.fromfile(tmp / "lat.f32", np.float32).reshape(-1, 80)
         ref_st = np.fromfile(tmp / "st.f32", np.float32).reshape(-1, 24)
         z, state = rv.encode(params, jnp.asarray(feats), cfg)
-        assert np.abs(np.asarray(z[0]) - ref_lat).max() < 1e-4
-        assert np.abs(np.asarray(state[0]) - ref_st).max() < 1e-4
+        assert np.abs(np.asarray(z[0]) - ref_lat).max() < 1e-5   # meas 1.4e-6
+        assert np.abs(np.asarray(state[0]) - ref_st).max() < 1e-5  # meas 4.5e-7
 
     def test_stats_tables_roundtrip(self, harness, tmp_path):
         """Statistical-model export (dump_rdovae.py:110-145): generated
@@ -122,6 +122,8 @@ class TestDREDParity:
         assert r.returncode == 0, r.stderr
         ref_lat = np.fromfile(tmp / "ship_lat.f32", np.float32).reshape(-1, 80)
         z, _ = rv.encode(params, jnp.asarray(feats), cfg)
+        # trained-checkpoint activations are larger than the random-weight
+        # harness's, so the float-association residual is too: meas 1.5e-5
         assert np.abs(np.asarray(z[0]) - ref_lat).max() < 1e-4
 
     def test_decoder(self, harness):
@@ -144,4 +146,4 @@ class TestDREDParity:
         out = rv.decode(params, jnp.asarray(L[None, ::-1].copy()),
                         jnp.asarray(st0[None]), cfg)
         our_q = np.asarray(out[0])[::-1].reshape(-1, 80)
-        assert np.abs(ref_q - our_q).max() < 1e-4
+        assert np.abs(ref_q - our_q).max() < 5e-6   # measured 2.2e-7
