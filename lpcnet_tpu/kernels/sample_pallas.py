@@ -78,6 +78,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import LPC_ORDER
+from ..ops.mulaw import ULAW2LIN_TABLE
 from ..ops.tables import SAMPLING_LOGIT_TABLE
 
 _LOG256 = np.float32(5.5451774445)
@@ -147,11 +148,11 @@ def _lin2ulaw(x):
     return jnp.floor(jnp.float32(0.5) + u).astype(jnp.int32)
 
 
-def _ulaw2lin(u):
-    u = u.astype(jnp.float32) - 128.0
-    s = jnp.where(u >= 0, jnp.float32(1.0), jnp.float32(-1.0))
-    return s * jnp.float32(32768.0 / 255.0) * (
-        jnp.exp(jnp.abs(u) / 128.0 * _LOG256) - 1.0)
+def _ulaw2lin(u, u2l_row):
+    """Integer mu-law expansion, bit-exact with the C's double-exp
+    evaluation: a one-hot row-select against ops/mulaw.ULAW2LIN_TABLE,
+    shipped into the kernel as row 1 of the (2,256) logit/u2l table."""
+    return jnp.sum(_onehot(u, 256) * u2l_row, axis=1)
 
 
 def _onehot(idx, n, dtype=jnp.float32):
@@ -264,7 +265,7 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
                 for k in range(4):
                     byt = ((r >> (8 * k))
                            & jnp.uint32(0xFF)).astype(jnp.int32)
-                    t = jnp.sum(_onehot(byt, 256) * logit_tbl, axis=1)
+                    t = jnp.sum(_onehot(byt, 256) * logit_tbl[0:1], axis=1)
                     thr_cols = thr_cols + t[:, None] * lvl_tbl[b:b + 1, :]
                     b += 1
             # on-chain: compare every heap node, one MXU matmul scores all
@@ -280,7 +281,8 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
             for r in (r1, r2):
                 for k in range(4):
                     b = ((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
-                    thrs.append(jnp.sum(_onehot(b, 256) * logit_tbl, axis=1))
+                    thrs.append(jnp.sum(_onehot(b, 256) * logit_tbl[0:1],
+                                         axis=1))
             # 8-bit tree walk with mask-selects (nnet.c:186-211)
             val = jnp.zeros((gru_b.shape[0],), jnp.int32)
             for b in range(8):
@@ -297,9 +299,10 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
             if force_from is not None:
                 tmask = tmask | (i >= force_from)
             exc = jnp.where(tmask, tf_exc, exc)
-            pcm = jnp.where(tmask, tf_sig, pred + _ulaw2lin(exc))
+            pcm = jnp.where(tmask, tf_sig,
+                            pred + _ulaw2lin(exc, logit_tbl[1:2]))
         else:
-            pcm = pred + _ulaw2lin(exc)
+            pcm = pred + _ulaw2lin(exc, logit_tbl[1:2])
         last_sig_n = jnp.concatenate([pcm[:, None], last_sig[:, :-1]],
                                      axis=1)
         out = pcm + preemph * deemph
@@ -361,7 +364,8 @@ def _synth_loop_opt(weights, cond_a, cond_b, lpc, carry, write_pcm,
         for r in (r1, r2):
             for k in range(4):
                 b = ((r >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
-                rows.append(jnp.sum(_onehot(b, 256) * logit_tbl, axis=1))
+                rows.append(jnp.sum(_onehot(b, 256) * logit_tbl[0:1],
+                                        axis=1))
         return rng, tuple(rows)
 
     gru_a0, gru_b0, last_sig0, exc0, deemph0, rng0 = carry
@@ -407,7 +411,7 @@ def _synth_loop_opt(weights, cond_a, cond_b, lpc, carry, write_pcm,
             bit = (thr[b] < logit).astype(jnp.int32)
             val = (val << 1) | bit
         exc = val
-        pcm = pred + _ulaw2lin(exc)
+        pcm = pred + _ulaw2lin(exc, logit_tbl[1:2])
         last_sig = jnp.concatenate([pcm[:, None], last_sig[:, :-1]], axis=1)
         out = pcm + preemph * deemph
         deemph = out
@@ -767,7 +771,8 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
         return jax.tree.map(lambda x: x[:B], new_state), pcm[:B]
 
     dfc = tables["dual_fc"]
-    logit_tbl = jnp.asarray(SAMPLING_LOGIT_TABLE)[None, :]
+    logit_tbl = jnp.stack([jnp.asarray(SAMPLING_LOGIT_TABLE),
+                           jnp.asarray(ULAW2LIN_TABLE)])
     na, nb = cfg.gru_a_units, cfg.gru_b_units
     if target is None:
         target = jnp.zeros((B, nsamples))
@@ -805,7 +810,7 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
             wspec((na, 3 * na)), wspec((1, 3 * na)), wspec((na, 3 * nb)),
             wspec((nb, 3 * nb)), wspec((1, 3 * nb)),
             wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
-            wspec((2, 256)), wspec((1, 256)),
+            wspec((2, 256)), wspec((2, 256)),
         ] + ([wspec((256, 256)), wspec((8, 256)), wspec((2, 256))]
              if flat else []) + [
             pl.BlockSpec((nsamples, bt), lambda i: (0, i),
@@ -895,7 +900,8 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
     B = cond_a.shape[0]
     fs = cfg.frame_size
     dfc = tables["dual_fc"]
-    logit_tbl = jnp.asarray(SAMPLING_LOGIT_TABLE)[None, :]
+    logit_tbl = jnp.stack([jnp.asarray(SAMPLING_LOGIT_TABLE),
+                           jnp.asarray(ULAW2LIN_TABLE)])
     opt = variant in ("opt", "fuse")
     flat = variant == "flat"
 
@@ -930,7 +936,7 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
                 wspec((na, 3 * nb)), wspec((nb, 3 * nb)),
                 wspec((1, 3 * nb)),
                 wspec((nb, 512)), wspec((1, 512)), wspec((2, 256)),
-                wspec((1, 256)),
+                wspec((2, 256)),
             ]
         else:
             weight_specs = [
@@ -940,7 +946,7 @@ def synthesize_frame_pallas(tables: Dict[str, Any],
                 wspec((na, 3 * nb)), wspec((nb, 3 * nb)),
                 wspec((1, 3 * nb)),
                 wspec((nb, 256)), wspec((nb, 256)), wspec((2, 256)),
-                wspec((2, 256)), wspec((1, 256)),
+                wspec((2, 256)), wspec((2, 256)),
             ]
             if flat:
                 weight_specs += [wspec((256, 256)), wspec((8, 256)),

@@ -10,8 +10,28 @@ All functions are elementwise, jittable, and shape-polymorphic.
 """
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 LOG256 = 5.5451774445
+
+
+def _c_ulaw2lin_table() -> np.ndarray:
+    """The C ulaw2lin (src/common.h:37-45) evaluated for every integer
+    mu-law index with its exact promotion semantics: the expression
+    `s*scale_1*(exp(u/128.*LOG256)-1)` runs in DOUBLE (the double literal
+    `128.` promotes everything after the float `s*scale_1` product) and
+    rounds to float once on return. Excitation indices are always
+    integers, so this 256-entry table IS the C function, bit-for-bit."""
+    scale_1 = np.float32(np.float32(32768.0) / np.float32(255.0))
+    log256 = np.float64(np.float32(5.5451774445))
+    u = np.arange(256, dtype=np.float64) - 128.0
+    s = np.where(u >= 0, np.float32(1.0), np.float32(-1.0))
+    su = np.float64((s * scale_1).astype(np.float32))
+    val = su * (np.exp(np.abs(u) / 128.0 * log256) - 1.0)
+    return val.astype(np.float32)
+
+
+ULAW2LIN_TABLE = _c_ulaw2lin_table()
 
 
 def log2_approx(x: jax.Array) -> jax.Array:
@@ -52,7 +72,15 @@ def lin2ulaw(x: jax.Array) -> jax.Array:
 
 
 def ulaw2lin(u: jax.Array) -> jax.Array:
-    """Mu-law index -> linear float (src/common.h:37-45)."""
+    """Mu-law index -> linear float (src/common.h:37-45).
+
+    Integer inputs (the kernels' excitation indices) go through
+    ULAW2LIN_TABLE and are bit-exact with the C's double-exp evaluation;
+    float inputs use the float32 analytic form (~4e-6 relative of the C)."""
+    u = jnp.asarray(u)
+    if jnp.issubdtype(u.dtype, jnp.integer):
+        return jnp.take(jnp.asarray(ULAW2LIN_TABLE),
+                        jnp.clip(u, 0, 255), axis=0)
     u = u.astype(jnp.float32)
     scale_1 = jnp.float32(32768.0 / 255.0)
     u = u - jnp.float32(128.0)

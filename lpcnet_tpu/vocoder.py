@@ -25,9 +25,14 @@ class Synthesizer:
     def __init__(self, cfg: Optional[lpcnet.LPCNetConfig] = None,
                  params: Optional[Dict[str, Any]] = None,
                  rng: Optional[jax.Array] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 dotprod_su: bool = False):
         """backend: 'pallas' (fused VMEM-resident kernel, TPU only),
-        'scan' (portable lax.scan), or 'auto' (pallas on TPU)."""
+        'scan' (portable lax.scan), 'dotprod' (the reference's deployed
+        int8 DOT_PROD arithmetic emulated exactly — kernels/sample_dotprod,
+        vec.h:200-340 semantics; dotprod_su selects the unsigned+SU-bias
+        AVX/NEON flavor over the signed portable one), or 'auto' (pallas
+        on TPU)."""
         self.cfg = cfg or lpcnet.LPCNetConfig()
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -39,6 +44,10 @@ class Synthesizer:
                        if jax.devices()[0].platform in ("tpu", "axon")
                        else "scan")
         self.backend = backend
+        if backend == "dotprod":
+            from .kernels import sample_dotprod
+            self.qtables = sample_dotprod.quantize_tables(
+                self.tables, self.cfg, su_bias=dotprod_su)
         # pallas kernel knobs (sample_pallas module docstring documents the
         # measured tradeoffs): LPCNET_KERNEL_VARIANT=base|fuse|opt|flat,
         # LPCNET_KERNEL_TABLES=f32|bf16 (bf16 embedding tables: 4x MXU rate
@@ -78,6 +87,10 @@ class Synthesizer:
                 self.tables, state, conds, self.cfg,
                 table_dtype=self.table_dtype, variant=self.kernel_variant,
                 interpret=self.pallas_interpret)
+        if self.backend == "dotprod":
+            from .kernels import sample_dotprod
+            return sample_dotprod.synthesize_frames_dotprod(
+                self.tables, self.qtables, state, conds, self.cfg)
         return sample_scan.synthesize_frames(self.tables, state, conds,
                                              self.cfg)
 
@@ -138,8 +151,15 @@ class Synthesizer:
         return self._synth_streaming(state, features)
 
     def _synth_streaming_impl(self, state, features):
-        from .kernels.sample_scan import synth_samples
         cfg = self.cfg
+        if self.backend == "dotprod":
+            from .kernels import sample_dotprod
+
+            def synth_samples(tables, st, cond, cfg2, n):
+                return sample_dotprod.synth_samples_dotprod(
+                    tables, self.qtables, st, cond, cfg2, n)
+        else:
+            from .kernels.sample_scan import synth_samples
 
         def body(carry, feat):
             fstate, synth = carry

@@ -75,7 +75,11 @@ float ulaw2lin(float u) {
   u = u - 128.f;
   float s = u >= 0 ? 1.f : -1.f;
   u = std::fabs(u);
-  return s * scale_1 * (std::exp(u / 128.f * 5.5451774445f) - 1);
+  // the reference (common.h:37-45) promotes to DOUBLE here: the `128.`
+  // literal makes the whole exp expression double, rounded to float
+  // once on return — ops/mulaw.ULAW2LIN_TABLE is built the same way
+  return (float)(s * scale_1 *
+                 (std::exp((double)u / 128. * 5.5451774445f) - 1));
 }
 
 short float2short(float x) {

@@ -31,10 +31,18 @@ class TestMulaw:
         np.testing.assert_array_equal(got, want)
 
     def test_ulaw2lin_golden(self):
-        # float32 exp vs the C library's double exp: ~4e-6 relative.
+        # integer inputs ride ULAW2LIN_TABLE (the C's double-exp expression
+        # rounded once) — bit-exact vs the golden C dump
         d = _read("mulaw.bin")
         want = d[4002:4258]
         got = np.asarray(mulaw.ulaw2lin(jnp.arange(256)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_ulaw2lin_float_analytic_close(self):
+        # float (non-integer) inputs use the f32 analytic form: ~4e-6 rel
+        d = _read("mulaw.bin")
+        want = d[4002:4258]
+        got = np.asarray(mulaw.ulaw2lin(jnp.arange(256, dtype=jnp.float32)))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-2)
 
     def test_zero_maps_to_128(self):
