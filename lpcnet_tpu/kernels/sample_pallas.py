@@ -295,9 +295,11 @@ def _synth_loop(weights, cond_a, cond_b, lpc, carry, write_pcm,
             tgt = read_target(i)
             tf_sig = tgt - preemph * deemph
             tf_exc = _lin2ulaw(tf_sig - pred)
-            tmask = i < preload
+            # preload/force_from None-ness is static (machinery elision)
+            tmask = None if preload is None else (i < preload)
             if force_from is not None:
-                tmask = tmask | (i >= force_from)
+                ff = i >= force_from
+                tmask = ff if tmask is None else (tmask | ff)
             exc = jnp.where(tmask, tf_exc, exc)
             pcm = jnp.where(tmask, tf_sig,
                             pred + _ulaw2lin(exc, logit_tbl[1:2]))
@@ -532,9 +534,13 @@ def _tf_frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
                      gru_a_in, gru_b_in, sig_in, exc_in, deemph_in, rng_in,
                      gru_a_out, gru_b_out, sig_out, exc_out, deemph_out,
                      rng_out, pcm_ref, *, nsamples: int, preemph: float,
-                     wdtype=jnp.float32):
+                     wdtype=jnp.float32, use_target: bool = True,
+                     use_preload: bool = True, use_n_active: bool = True,
+                     use_force_from: bool = True):
     """Teacher-forcing variant of _frame_kernel: target (nsamples, B) +
-    per-stream preload, active counts, and tail-forcing starts."""
+    per-stream preload, active counts, and tail-forcing starts. The
+    use_* flags are STATIC: inert machinery is elided from the loop body
+    (its refs are still passed to keep the spec count fixed)."""
     weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                             wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
                             br_b_ref, dfc_w1_ref, dfc_w2_ref, dfc_b_ref,
@@ -548,9 +554,10 @@ def _tf_frame_kernel(cond_a_ref, cond_b_ref, lpc_ref,
     gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop(
         weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
         nsamples, preemph, wdtype,
-        read_target=lambda i: tgt_ref[i, :],
-        preload=pre_ref[:, 0], n_active=act_ref[:, 0],
-        force_from=ff_ref[:, 0])
+        read_target=(lambda i: tgt_ref[i, :]) if use_target else None,
+        preload=pre_ref[:, 0] if use_preload else None,
+        n_active=act_ref[:, 0] if use_n_active else None,
+        force_from=ff_ref[:, 0] if use_force_from else None)
     gru_a_out[:] = gru_a
     gru_b_out[:] = gru_b
     sig_out[:] = last_sig
@@ -568,7 +575,10 @@ def _tf_frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
                           gru_a_in, gru_b_in, sig_in, exc_in, deemph_in,
                           rng_in, gru_a_out, gru_b_out, sig_out, exc_out,
                           deemph_out, rng_out, pcm_ref, *, nsamples: int,
-                          preemph: float, wdtype=jnp.float32):
+                          preemph: float, wdtype=jnp.float32,
+                          use_target: bool = True, use_preload: bool = True,
+                          use_n_active: bool = True,
+                          use_force_from: bool = True):
     """_tf_frame_kernel with the flat (matmul-scored) sampling tree."""
     weights = _read_weights(tbl_sig_ref, tbl_pred_ref, tbl_exc_ref,
                             wr_a_ref, br_a_ref, wi_b_ref, wr_b_ref,
@@ -584,9 +594,11 @@ def _tf_frame_kernel_flat(cond_a_ref, cond_b_ref, lpc_ref,
     gru_a, gru_b, last_sig, exc, deemph, rng = _synth_loop(
         weights, cond_a_ref[:], cond_b_ref[:], lpc_ref[:], init, write_pcm,
         nsamples, preemph, wdtype,
-        read_target=lambda i: tgt_ref[i, :],
-        preload=pre_ref[:, 0], n_active=act_ref[:, 0],
-        force_from=ff_ref[:, 0], flat_tree=True)
+        read_target=(lambda i: tgt_ref[i, :]) if use_target else None,
+        preload=pre_ref[:, 0] if use_preload else None,
+        n_active=act_ref[:, 0] if use_n_active else None,
+        force_from=ff_ref[:, 0] if use_force_from else None,
+        flat_tree=True)
     gru_a_out[:] = gru_a
     gru_b_out[:] = gru_b
     sig_out[:] = last_sig
@@ -752,21 +764,19 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     Bp = max(8, -(-B // 8) * 8) if B <= MAX_BATCH_TILE \
         else -(-B // MAX_BATCH_TILE) * MAX_BATCH_TILE
     if Bp != B:
+        # pad only what the caller actually passed: None-ness is a STATIC
+        # property that elides the corresponding in-kernel machinery below
+        opt = {"target": target, "preload": preload, "n_active": n_active,
+               "force_from": force_from}
         pads = _pad_batch(
             {"state": state, "cond": cond,
-             "target": (jnp.zeros((B, nsamples)) if target is None
-                        else target),
-             "preload": (jnp.zeros((B,), jnp.int32) if preload is None
-                         else preload),
-             "n_active": (jnp.full((B,), nsamples, jnp.int32)
-                          if n_active is None else n_active),
-             "force_from": (jnp.full((B,), nsamples, jnp.int32)
-                            if force_from is None else force_from)},
+             **{k: v for k, v in opt.items() if v is not None}},
             B, Bp)
         new_state, pcm = synth_samples_pallas(
             tables, pads["state"], pads["cond"], cfg, nsamples,
-            target=pads["target"], preload=pads["preload"],
-            n_active=pads["n_active"], force_from=pads["force_from"],
+            target=pads.get("target"), preload=pads.get("preload"),
+            n_active=pads.get("n_active"),
+            force_from=pads.get("force_from"),
             interpret=interpret, variant=variant)
         return jax.tree.map(lambda x: x[:B], new_state), pcm[:B]
 
@@ -774,6 +784,16 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     logit_tbl = jnp.stack([jnp.asarray(SAMPLING_LOGIT_TABLE),
                            jnp.asarray(ULAW2LIN_TABLE)])
     na, nb = cfg.gru_a_units, cfg.gru_b_units
+    # STATIC machinery flags: which teacher/active features the kernel
+    # body must actually compute. The refs are always passed (fixed spec
+    # count) but inert ones never touch the serialized sample chain —
+    # free-run callers pay nothing for the teacher path, and the fused
+    # PLC step (target + force_from only) skips the preload/n_active
+    # compares and the 7-tensor freeze-select per step.
+    use_target = target is not None
+    use_n_active = n_active is not None
+    use_force_from = force_from is not None
+    use_preload = preload is not None or (use_target and not use_force_from)
     if target is None:
         target = jnp.zeros((B, nsamples))
         if preload is None:
@@ -836,7 +856,9 @@ def synth_samples_pallas(tables: Dict[str, Any], state: Dict[str, jax.Array],
     )
     kernel = functools.partial(
         _tf_frame_kernel_flat if flat else _tf_frame_kernel,
-        nsamples=nsamples, preemph=cfg.preemph)
+        nsamples=nsamples, preemph=cfg.preemph,
+        use_target=use_target, use_preload=use_preload,
+        use_n_active=use_n_active, use_force_from=use_force_from)
     if flat:
         dfc_args = (dfc["w"][0], dfc["w"][1], dfc["b"], dfc["factor"],
                     logit_tbl, jnp.asarray(_FLAT_SCORE_W),

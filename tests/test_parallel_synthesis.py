@@ -57,3 +57,26 @@ class TestShardedSynthesis:
     def test_batch_must_divide(self, voc):
         with pytest.raises(AssertionError, match="divide"):
             pmesh.shard_synthesis(voc, len(jax.devices()) + 1)
+
+
+class TestFlagshipGeometry:
+    def test_sharded_matches_single_device_flagship(self):
+        """Sharded-equals-single-device at the FLAGSHIP geometry (default
+        config, GRU-A 384) — the shrunken-geometry classes above keep the
+        suite fast; this one proves the real model's sharding (one stream
+        per device, one frame). At this size XLA tiles the per-shard
+        matmuls differently than the single-device (8,·) forms, so the
+        match is the +-1 floor(.5+x) rounding class rather than exact
+        (measured: 99.4% identical, max |diff| 1, zero forks; the small
+        geometry above happens to stay bit-exact)."""
+        voc = Synthesizer(lm.LPCNetConfig(), backend="scan")
+        n = len(jax.devices())
+        B, T = n, 1
+        feats = _feats(B, T, seed=2)
+        state, synth_fn = pmesh.shard_synthesis(voc, B)
+        _, pcm_dp = synth_fn(state, feats)
+        state1 = voc.reset(B, per_stream_rng=True)
+        _, pcm_1 = voc.synthesize(state1, jnp.asarray(feats))
+        d = np.abs(np.asarray(pcm_dp) - np.asarray(pcm_1))
+        assert d.max() <= 1, d.max()          # measured: 1.0
+        assert (d == 0).mean() > 0.98, (d == 0).mean()  # measured 0.994

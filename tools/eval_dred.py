@@ -5,11 +5,14 @@ the latents through the trained per-level quantizers, decode, and report:
   - feature RMS (cepstra+pitch+corr, 20 dims) of the round trip
   - sq_rate_metric bits/dframe of the rounded symbols (the entropy-model
     rate estimate the reference trains against, rdovae.py:190-207)
-against a random-init baseline. Writes the table as JSON (the artifact
-sidecar) and prints it.
+against a random-init baseline. Evaluates ALL 16 levels by default, on
+every given source (e.g. the synthetic-voice holdout AND the real-speech
+sample). Writes the full table as JSON (the artifact sidecar) and prints
+it.
 
-Usage: python tools/eval_dred.py ckpt.bin features.f32 out.json
-           [--levels 0 5 10 15] [--holdout-frames 4000]
+Usage: python tools/eval_dred.py ckpt.bin out.json \
+           --source holdout=hold.f32 --source speech=sp.f32 \
+           [--levels 0 .. 15] [--holdout-frames 4000]
 """
 import argparse
 import json
@@ -21,10 +24,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt")
-    ap.add_argument("features")
     ap.add_argument("out_json")
-    ap.add_argument("--levels", type=int, nargs="+", default=[0, 5, 10, 15])
-    ap.add_argument("--holdout-frames", type=int, default=4000)
+    ap.add_argument("--source", action="append", required=True,
+                    help="name=features.f32 (repeatable)")
+    ap.add_argument("--levels", type=int, nargs="+",
+                    default=list(range(16)))
+    ap.add_argument("--holdout-frames", type=int, default=4000,
+                    help="use the TAIL this many frames of each source")
     args = ap.parse_args()
 
     import jax
@@ -37,11 +43,7 @@ def main():
     params, cfg = load_dred_model(args.ckpt)
     rnd = rv.init_params(jax.random.PRNGKey(99), cfg)
 
-    feats = read_features(args.features)[:, :NB_FEATURES]
-    T = min(args.holdout_frames, feats.shape[0]) // 8 * 8
-    feats = jnp.asarray(feats[-T:][None])          # (1, T, 20) tail = holdout
-
-    def roundtrip(p, level):
+    def roundtrip(p, feats, level):
         z, state = rv.encode(p, feats, cfg)
         zd = z[:, 1::2]                            # dframe rate
         sd = rv.pvq_quantize(state[:, 1::2], cfg.pvq_k)
@@ -59,16 +61,25 @@ def main():
         return rms, bits
 
     table = {"cond_size": cfg.cond_size, "cond_size2": cfg.cond_size2,
-             "holdout_frames": int(T), "levels": {}}
-    for lv in args.levels:
-        rms, bits = roundtrip(params, lv)
-        rrms, rbits = roundtrip(rnd, lv)
-        table["levels"][str(lv)] = {
-            "rms": round(rms, 4), "bits_per_dframe": round(bits, 1),
-            "rand_rms": round(rrms, 4),
-            "rand_bits_per_dframe": round(rbits, 1)}
-        print(f"q{lv}: rms {rms:.4f} @ {bits:.1f} bits/dframe "
-              f"(random init: {rrms:.4f} @ {rbits:.1f})")
+             "holdout_frames": args.holdout_frames, "sources": {}}
+    for spec in args.source:
+        name, path = spec.split("=", 1)
+        feats = read_features(path)[:, :NB_FEATURES]
+        T = min(args.holdout_frames, feats.shape[0]) // 8 * 8
+        fj = jnp.asarray(feats[-T:][None])         # tail = holdout
+        levels = {}
+        for lv in args.levels:
+            rms, bits = roundtrip(params, fj, lv)
+            rrms, rbits = roundtrip(rnd, fj, lv)
+            levels[str(lv)] = {
+                "rms": round(rms, 4), "bits_per_dframe": round(bits, 1),
+                "rand_rms": round(rrms, 4),
+                "rand_bits_per_dframe": round(rbits, 1)}
+            print(f"{name} q{lv}: rms {rms:.4f} @ {bits:.1f} bits/dframe "
+                  f"(random init: {rrms:.4f} @ {rbits:.1f})")
+        b = [levels[str(lv)]["bits_per_dframe"] for lv in args.levels]
+        levels["rate_span"] = round(max(b) / max(min(b), 1e-9), 2)
+        table["sources"][name] = {"frames": int(T), "levels": levels}
     with open(args.out_json, "w") as f:
         json.dump(table, f, indent=1)
     print(f"wrote {args.out_json}")
